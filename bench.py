@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Driver benchmark entry: prints ONE JSON line with the primary metric.
+
+Primary metric (BASELINE.json): decoded information Mbit/s per chip at
+6 iterations on K=6144 LTE blocks, max-log-MAP.  vs_baseline is measured
+against the driver target of 1 Gbit/s on a v5e-8 slice, i.e. 125 Mbit/s
+per chip (reference throughput itself is unrecoverable -- BASELINE.md).
+"""
+
+import json
+import sys
+
+
+def main():
+    from turbotpu.decoder.turbo import DecoderConfig
+    from turbotpu.harness.bench import bench_decode
+
+    K, B, iters = 6144, 128, 6
+    last_err = None
+    for siso in ("pallas", "scan"):
+        try:
+            cfg = DecoderConfig(K=K, n_iters=iters, mode="maxlog",
+                                ext_scale=0.75, siso=siso)
+            rec = bench_decode(cfg, B, n_timed=5, n_warmup=2)
+            break
+        except Exception as e:  # pallas path may not exist yet
+            last_err = e
+    else:
+        raise last_err
+
+    per_chip_target = 125.0  # Mbit/s/chip (1 Gbit/s / 8 chips)
+    print(json.dumps({
+        "metric": f"decoded Mbit/s/chip (K={K}, {iters} iters, max-log-MAP, "
+                  f"batch={B}, siso={rec['siso']})",
+        "value": round(rec["mbit_per_s"], 2),
+        "unit": "Mbit/s/chip",
+        "vs_baseline": round(rec["mbit_per_s"] / per_chip_target, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

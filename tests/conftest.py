@@ -2,16 +2,22 @@
 
 Per SURVEY.md section 5, all tests run on CPU with
 xla_force_host_platform_device_count=8 so the real shard_map / ppermute
-code paths execute without TPU hardware.  Must run before jax is imported.
+code paths execute without TPU hardware.  The environment pins
+JAX_PLATFORMS=axon via sitecustomize, so the env var alone is not enough --
+we must override through jax.config before any computation runs.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 

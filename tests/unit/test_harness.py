@@ -1,0 +1,52 @@
+import json
+
+import numpy as np
+import pytest
+
+from turbotpu.decoder.turbo import DecoderConfig
+from turbotpu.harness.ber import SimConfig, make_step, simulate_ber, simulate_point
+
+
+def _fast_cfg(**kw):
+    defaults = dict(name="t", K=40, B=32, ebn0_db_grid=(6.0,),
+                    decoder=DecoderConfig(K=40, n_iters=2),
+                    use_crc=False, min_frame_errors=1, max_frames=64, seed=1)
+    defaults.update(kw)
+    return SimConfig(**defaults)
+
+
+def test_high_snr_is_error_free():
+    cfg = _fast_cfg(ebn0_db_grid=(10.0,))
+    rec = simulate_point(cfg, 10.0)
+    assert rec["bit_errs"] == 0
+
+
+def test_rate_matched_step_runs():
+    cfg = _fast_cfg(E=100, ebn0_db_grid=(8.0,))  # punctured rate ~0.4
+    rec = simulate_point(cfg, 8.0)
+    assert rec["frames"] > 0
+
+
+def test_qpsk_step_runs():
+    cfg = _fast_cfg(modulation="qpsk", ebn0_db_grid=(10.0,))
+    rec = simulate_point(cfg, 10.0)
+    assert rec["bit_errs"] == 0
+
+
+def test_resume_skips_completed_points(tmp_path):
+    path = tmp_path / "r.jsonl"
+    cfg = _fast_cfg(ebn0_db_grid=(9.0, 10.0))
+    out1 = simulate_ber(cfg, results_path=path, verbose=False)
+    assert len(path.read_text().splitlines()) == 2
+    out2 = simulate_ber(cfg, results_path=path, verbose=False)
+    assert len(path.read_text().splitlines()) == 2  # nothing re-run
+    assert [r["ebn0_db"] for r in out2] == [9.0, 10.0]
+
+
+def test_crc_config_decodes_own_payload():
+    cfg = _fast_cfg(use_crc=True,
+                    decoder=DecoderConfig(K=40, n_iters=4, early_term="crc"),
+                    ebn0_db_grid=(8.0,))
+    rec = simulate_point(cfg, 8.0)
+    assert rec["bit_errs"] == 0
+    assert rec["avg_iters"] <= 2.5  # CRC early exit kicks in at high SNR

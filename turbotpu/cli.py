@@ -1,0 +1,111 @@
+"""Command-line entry point (SURVEY.md section 3, component 31).
+
+Examples:
+  python -m turbotpu.cli ber --config c1
+  python -m turbotpu.cli ber --k 512 --iters 6 --mode maxlog --ebn0 0.5 1.0 1.5
+  python -m turbotpu.cli bench --k 6144 --batch 64 --iters 6 --siso scan
+  python -m turbotpu.cli bench --profile /tmp/trace
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu)")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="turbotpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ber = sub.add_parser("ber", help="Monte-Carlo BER/FER sweep")
+    _add_common(ber)
+    ber.add_argument("--config", choices=["c1", "c2", "c3", "c4", "c5"])
+    ber.add_argument("--k", type=int, default=1024)
+    ber.add_argument("--batch", type=int, default=32)
+    ber.add_argument("--iters", type=int, default=8)
+    ber.add_argument("--mode", choices=["logmap", "maxlog"], default="logmap")
+    ber.add_argument("--interleaver", choices=["lte", "umts"], default="lte")
+    ber.add_argument("--early-term", choices=["none", "crc", "sign"],
+                     default="none")
+    ber.add_argument("--siso", default="scan")
+    ber.add_argument("--window", type=int, default=0)
+    ber.add_argument("--ebn0", type=float, nargs="+", default=[0.0, 0.5, 1.0])
+    ber.add_argument("--E", type=int, default=0, help="rate-matched length")
+    ber.add_argument("--rv", type=int, default=0)
+    ber.add_argument("--modulation", choices=["bpsk", "qpsk"], default="bpsk")
+    ber.add_argument("--min-frame-errors", type=int, default=50)
+    ber.add_argument("--max-frames", type=int, default=200_000)
+    ber.add_argument("--seed", type=int, default=0)
+    ber.add_argument("--results", default="results/ber.jsonl")
+    ber.add_argument("--no-resume", action="store_true")
+
+    bench = sub.add_parser("bench", help="decode throughput benchmark")
+    _add_common(bench)
+    bench.add_argument("--k", type=int, default=6144)
+    bench.add_argument("--batch", type=int, default=64)
+    bench.add_argument("--iters", type=int, default=6)
+    bench.add_argument("--mode", choices=["logmap", "maxlog"], default="maxlog")
+    bench.add_argument("--siso", default="scan")
+    bench.add_argument("--window", type=int, default=0)
+    bench.add_argument("--reps", type=int, default=10)
+    bench.add_argument("--profile", default=None,
+                       help="write a jax.profiler trace to this directory")
+
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from turbotpu.decoder.turbo import DecoderConfig
+
+    if args.cmd == "ber":
+        from turbotpu.harness.ber import SimConfig, simulate_ber
+        if args.config:
+            from configs.acceptance import ALL
+            cfgs = ALL[args.config]
+            if not isinstance(cfgs, tuple):
+                cfgs = (cfgs,)
+        else:
+            dec = DecoderConfig(K=args.k, n_iters=args.iters, mode=args.mode,
+                                ext_scale=(0.75 if args.mode == "maxlog" else 1.0),
+                                interleaver=args.interleaver,
+                                early_term=args.early_term,
+                                siso=args.siso, window=args.window)
+            cfgs = (SimConfig(name=f"cli_k{args.k}_{args.mode}", K=args.k,
+                              B=args.batch, ebn0_db_grid=tuple(args.ebn0),
+                              decoder=dec, E=args.E, rv=args.rv,
+                              modulation=args.modulation,
+                              use_crc=args.early_term == "crc",
+                              min_frame_errors=args.min_frame_errors,
+                              max_frames=args.max_frames, seed=args.seed),)
+        for cfg in cfgs:
+            simulate_ber(cfg, results_path=args.results,
+                         resume=not args.no_resume)
+        return 0
+
+    if args.cmd == "bench":
+        from turbotpu.harness.bench import bench_decode
+        cfg = DecoderConfig(K=args.k, n_iters=args.iters, mode=args.mode,
+                            ext_scale=(0.75 if args.mode == "maxlog" else 1.0),
+                            siso=args.siso, window=args.window)
+        if args.profile:
+            import jax
+            rec = bench_decode(cfg, args.batch, n_timed=2)
+            with jax.profiler.trace(args.profile):
+                rec = bench_decode(cfg, args.batch, n_timed=2, n_warmup=0)
+            print(f"profile written to {args.profile}", file=sys.stderr)
+        else:
+            rec = bench_decode(cfg, args.batch, n_timed=args.reps)
+        print(json.dumps(rec))
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

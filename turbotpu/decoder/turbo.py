@@ -1,0 +1,126 @@
+"""Fully on-device batched turbo decode loop (SURVEY.md section 4.2).
+
+The CUDA reference's host loop (kernel launches per half-iteration, early
+-exit flag copied to host) becomes a single jitted `lax.fori_loop`: no host
+round-trips inside the iteration loop; converged codewords are frozen
+branchlessly with per-codeword masks (component 20).
+
+Inputs are the canonical codeword format of golden/numpy_ref.py, batched:
+ls, lp1, lp2: (B, K); tail1, tail2: (B, 6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..spec import crc as crc_mod
+from ..spec.qpp import qpp_inv, qpp_perm
+from ..spec.umts import umts_inv, umts_perm
+from .early_term import crc_ok_batch, make_crc_matrix
+from ..siso.scan import siso_decode_scan
+
+SisoFn = Callable[..., tuple[jax.Array, jax.Array]]
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """Static decode configuration (hashable: used as a jit static arg)."""
+    K: int
+    n_iters: int = 8
+    mode: str = "logmap"            # "logmap" | "maxlog"
+    ext_scale: float = 1.0          # extrinsic scaling (0.75 typ. for maxlog)
+    interleaver: str = "lte"        # "lte" (QPP) | "umts"
+    early_term: str = "none"        # "none" | "crc" | "sign"
+    crc_poly: int = crc_mod.CRC24A_POLY
+    siso: str = "scan"              # "scan" | "ascan" | "pallas" | "window"
+    window: int = 0                 # sliding-window length (0 = full block)
+
+    def perm(self) -> np.ndarray:
+        return qpp_perm(self.K) if self.interleaver == "lte" else umts_perm(self.K)
+
+    def inv(self) -> np.ndarray:
+        return qpp_inv(self.K) if self.interleaver == "lte" else umts_inv(self.K)
+
+    def default_ext_scale(self) -> float:
+        if self.ext_scale is not None:
+            return self.ext_scale
+        return 0.75 if self.mode == "maxlog" else 1.0
+
+
+def get_siso(cfg: DecoderConfig) -> SisoFn:
+    if cfg.siso == "scan":
+        return siso_decode_scan
+    if cfg.siso == "ascan":
+        from ..siso.ascan import siso_decode_ascan
+        return siso_decode_ascan
+    if cfg.siso == "pallas":
+        from ..siso.pallas_kernel import siso_decode_pallas
+        return siso_decode_pallas
+    if cfg.siso == "window":
+        from ..siso.windowed import make_windowed_siso
+        return make_windowed_siso(cfg.window or 128)
+    raise ValueError(f"unknown siso impl {cfg.siso!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def turbo_decode(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
+                 tail1: jax.Array, tail2: jax.Array,
+                 cfg: DecoderConfig) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Decode a batch of codewords.
+
+    Returns (hard_bits (B, K) int8, n_iters_run (B,) int32, L (B, K)).
+    """
+    B, K = ls.shape
+    assert K == cfg.K
+    perm = jnp.asarray(cfg.perm())
+    inv = jnp.asarray(cfg.inv())
+    siso = get_siso(cfg)
+    scale = cfg.ext_scale if cfg.ext_scale else (0.75 if cfg.mode == "maxlog" else 1.0)
+
+    ls1 = jnp.concatenate([ls, tail1[:, 0::2]], axis=1)
+    lp1f = jnp.concatenate([lp1, tail1[:, 1::2]], axis=1)
+    ls2 = jnp.concatenate([ls[:, perm], tail2[:, 0::2]], axis=1)
+    lp2f = jnp.concatenate([lp2, tail2[:, 1::2]], axis=1)
+
+    if cfg.early_term == "crc":
+        G = make_crc_matrix(K, cfg.crc_poly)
+    else:
+        G = None
+
+    def body(_, carry):
+        le21, L_prev, hard_prev, done, iters = carry
+        _, le1 = siso(ls1, lp1f, le21, mode=cfg.mode)
+        le1 = le1 * scale
+        _, le2 = siso(ls2, lp2f, le1[:, perm], mode=cfg.mode)
+        le2 = le2 * scale
+        le21_new = le2[:, inv]
+        L_new = ls + le1 + le21_new
+        hard_new = (L_new < 0).astype(jnp.int8)
+
+        if cfg.early_term == "crc":
+            newly_done = crc_ok_batch(hard_new, G)
+        elif cfg.early_term == "sign":
+            newly_done = jnp.all(hard_new == hard_prev, axis=1)
+        else:
+            newly_done = jnp.zeros((B,), bool)
+
+        # Freeze converged codewords branchlessly.
+        keep = done[:, None]
+        le21 = jnp.where(keep, le21, le21_new)
+        L = jnp.where(keep, L_prev, L_new)
+        hard = jnp.where(keep, hard_prev, hard_new)
+        iters = iters + (~done).astype(jnp.int32)
+        done = done | newly_done
+        return le21, L, hard, done, iters
+
+    init = (jnp.zeros_like(ls), jnp.zeros_like(ls),
+            jnp.zeros(ls.shape, jnp.int8), jnp.zeros((B,), bool),
+            jnp.zeros((B,), jnp.int32))
+    le21, L, hard, done, iters = jax.lax.fori_loop(0, cfg.n_iters, body, init)
+    return hard, iters, L

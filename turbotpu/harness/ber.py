@@ -1,0 +1,158 @@
+"""Monte-Carlo BER/FER-vs-Eb/N0 simulation harness (SURVEY.md section 4.1).
+
+One fused jitted step per configuration runs the entire
+payload -> CRC -> encode -> rate match -> BPSK/QPSK -> AWGN -> demap ->
+de-rate-match -> turbo decode -> error count chain on device; the host only
+checks stopping conditions between batches (the reference's main.cpp
+Monte-Carlo loop, minus the H2D/D2H churn).
+
+Supports checkpoint/resume: completed (config, Eb/N0) points are written to
+a JSONL results file and skipped on restart (SURVEY.md section 6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+import time
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decoder.turbo import DecoderConfig, turbo_decode
+from ..spec.crc import CRC24A_POLY
+from ..tx import chain
+from ..tx.rate_match_jax import (de_rate_match_jax, lte_demux_jax,
+                                 lte_mux_jax, rate_match_jax)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static simulation configuration."""
+    name: str = "sim"
+    K: int = 40
+    B: int = 64                       # codewords per Monte-Carlo batch
+    ebn0_db_grid: tuple[float, ...] = (0.0, 0.5, 1.0)
+    decoder: DecoderConfig = dataclasses.field(
+        default_factory=lambda: DecoderConfig(K=40))
+    modulation: str = "bpsk"          # "bpsk" | "qpsk"
+    use_crc: bool = True              # attach CRC-24A inside the payload
+    E: int = 0                        # rate-matched length (0 = mother rate)
+    rv: int = 0
+    min_frame_errors: int = 50
+    max_frames: int = 200_000
+    seed: int = 0
+
+    @property
+    def rate(self) -> float:
+        """Information rate in info bits per channel bit."""
+        n_tx = self.E if self.E else 3 * self.K + 12
+        return self.K / n_tx
+
+
+def _ebn0_to_esn0_db(cfg: SimConfig, ebn0_db: float) -> float:
+    """Es/N0 = Eb/N0 * rate * bits-per-symbol (unit-energy symbols)."""
+    bps = 2.0 if cfg.modulation == "qpsk" else 1.0
+    return ebn0_db + 10 * np.log10(cfg.rate * bps)
+
+
+def make_step(cfg: SimConfig):
+    """Build the fused per-batch simulation step: key, esn0_db -> counters."""
+    n_payload = cfg.K - 24 if cfg.use_crc else cfg.K
+    perm = cfg.decoder.perm()
+
+    @jax.jit
+    def step(key: jax.Array, esn0_db: jax.Array):
+        kp, kn = jax.random.split(key)
+        payload = chain.gen_payload(kp, cfg.B, n_payload)
+        bits = (chain.crc_attach_batch(payload, cfg.decoder.crc_poly)
+                if cfg.use_crc else payload)
+        enc = chain.turbo_encode(bits, perm)
+        d_flat = lte_mux_jax(*enc).astype(jnp.float32)
+        if cfg.E:
+            tx_bits = rate_match_jax(d_flat, cfg.E, cfg.rv)
+        else:
+            tx_bits = d_flat
+        if cfg.modulation == "qpsk":
+            x = chain.modulate_qpsk(tx_bits.astype(jnp.int8))
+            y = chain.awgn_complex(kn, x, esn0_db)
+            llr = chain.demap_qpsk(y, esn0_db)
+        else:
+            x = chain.modulate_bpsk(tx_bits.astype(jnp.int8))
+            y = chain.awgn(kn, x, esn0_db)
+            llr = chain.demap_bpsk(y, esn0_db)
+        if cfg.E:
+            llr_d = de_rate_match_jax(llr, cfg.K, cfg.rv)
+        else:
+            llr_d = llr
+        parts = lte_demux_jax(llr_d)
+        hard, iters, _ = turbo_decode(*parts, cfg.decoder)
+        bit_errs = jnp.sum(hard != bits, dtype=jnp.int32)
+        frame_err_mask = jnp.any(hard != bits, axis=1)
+        frame_errs = jnp.sum(frame_err_mask, dtype=jnp.int32)
+        return bit_errs, frame_errs, jnp.sum(iters, dtype=jnp.int32)
+
+    return step
+
+
+def simulate_point(cfg: SimConfig, ebn0_db: float, step=None) -> dict:
+    """Run one Eb/N0 grid point to the stopping rule; returns a record."""
+    if step is None:
+        step = make_step(cfg)
+    esn0 = jnp.float32(_ebn0_to_esn0_db(cfg, ebn0_db))
+    key = jax.random.key(cfg.seed ^ int(round(ebn0_db * 1000)) & 0x7FFFFFFF)
+    bit_errs = frame_errs = frames = iters_sum = 0
+    t0 = time.perf_counter()
+    while frame_errs < cfg.min_frame_errors and frames < cfg.max_frames:
+        key, sub = jax.random.split(key)
+        be, fe, it = step(sub, esn0)
+        bit_errs += int(be)
+        frame_errs += int(fe)
+        iters_sum += int(it)
+        frames += cfg.B
+    wall = time.perf_counter() - t0
+    info_bits = frames * cfg.K
+    return {
+        "config": cfg.name, "K": cfg.K, "mode": cfg.decoder.mode,
+        "iters_max": cfg.decoder.n_iters, "ebn0_db": float(ebn0_db),
+        "frames": frames, "bits": info_bits,
+        "bit_errs": bit_errs, "frame_errs": frame_errs,
+        "ber": bit_errs / info_bits if info_bits else 0.0,
+        "fer": frame_errs / frames if frames else 0.0,
+        "avg_iters": iters_sum / frames if frames else 0.0,
+        "wall_s": wall,
+        "mbit_per_s": info_bits / wall / 1e6 if wall > 0 else 0.0,
+    }
+
+
+def simulate_ber(cfg: SimConfig, results_path: str | pathlib.Path | None = None,
+                 resume: bool = True, verbose: bool = True) -> list[dict]:
+    """Sweep the Eb/N0 grid; resumable via the JSONL results file."""
+    done: dict[float, dict] = {}
+    path = pathlib.Path(results_path) if results_path else None
+    if path and path.exists() and resume:
+        for line in path.read_text().splitlines():
+            rec = json.loads(line)
+            if rec.get("config") == cfg.name:
+                done[rec["ebn0_db"]] = rec
+    step = make_step(cfg)
+    out = []
+    for ebn0 in cfg.ebn0_db_grid:
+        if float(ebn0) in done:
+            out.append(done[float(ebn0)])
+            if verbose:
+                print(f"[{cfg.name}] Eb/N0={ebn0:5.2f} dB  (resumed)")
+            continue
+        rec = simulate_point(cfg, float(ebn0), step)
+        out.append(rec)
+        if path:
+            with path.open("a") as f:
+                f.write(json.dumps(rec) + "\n")
+        if verbose:
+            print(f"[{cfg.name}] Eb/N0={ebn0:5.2f} dB  BER={rec['ber']:.3e} "
+                  f"FER={rec['fer']:.3e} avg_iters={rec['avg_iters']:.2f} "
+                  f"{rec['mbit_per_s']:.2f} Mbit/s")
+    return out
