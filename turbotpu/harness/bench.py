@@ -44,13 +44,24 @@ def bench_decode(cfg: DecoderConfig, B: int, n_timed: int = 10,
     """Time turbo_decode on one chip. Returns metrics dict."""
     inputs = make_decode_inputs(cfg.K, B, seed)
     inputs = jax.device_put(inputs)
+
+    @jax.jit
+    def reduce_out(hard, iters, L):
+        # Tiny scalar fingerprint: fetching it forces full execution.  Under
+        # the axon TPU bridge, block_until_ready returns before the remote
+        # computation finishes, so timing MUST gate on a host fetch.
+        return L.sum() + iters.sum().astype(L.dtype)
+
     for _ in range(n_warmup):
         hard, iters, L = turbo_decode(*inputs, cfg)
-    jax.block_until_ready(hard)
+    float(reduce_out(hard, iters, L))
     t0 = time.perf_counter()
+    acc = None
     for _ in range(n_timed):
         hard, iters, L = turbo_decode(*inputs, cfg)
-    jax.block_until_ready(hard)
+        x = reduce_out(hard, iters, L)
+        acc = x if acc is None else acc + x
+    float(acc)
     wall = (time.perf_counter() - t0) / n_timed
     info_bits = B * cfg.K
     return {

@@ -48,6 +48,25 @@ def siso_decode_scan(ls: jax.Array, lp: jax.Array, la: jax.Array,
     Returns:
       (L, Le): (B, K) a-posteriori and extrinsic LLRs.
     """
+    L, Le, _, _ = siso_scan_boundary(ls, lp, la, None, None, mode)
+    return L, Le
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def siso_scan_boundary(ls: jax.Array, lp: jax.Array, la: jax.Array,
+                       alpha0: jax.Array | None, betaT: jax.Array | None,
+                       mode: str = LOGMAP):
+    """SISO over a trellis *segment* with explicit boundary metrics.
+
+    alpha0 / betaT: (B, 8) boundary state metrics at the segment's left /
+    right edge, or None for the terminated-codeword boundary e_0.  Used by
+    the cross-device windowed BCJR (NII boundary exchange over ppermute,
+    SURVEY.md section 3, component 23); la covers the first K of KT steps.
+
+    Returns (L, Le, alpha_out, beta_out): LLRs for the first K steps plus
+    the outgoing boundary metrics (alpha after the last step, beta before
+    the first step), each (B, 8).
+    """
     B, KT = ls.shape
     K = la.shape[1]
     ns, ps, pp, par = _tables()
@@ -58,7 +77,10 @@ def siso_decode_scan(ls: jax.Array, lp: jax.Array, la: jax.Array,
     A = -(laf + ls)            # (B, KT)
     P = -lp                    # (B, KT)
 
-    a0 = jnp.full((B, N_STATES), NEG, ls.dtype).at[:, 0].set(0.0)
+    if alpha0 is None:
+        a0 = jnp.full((B, N_STATES), NEG, ls.dtype).at[:, 0].set(0.0)
+    else:
+        a0 = alpha0.astype(ls.dtype)
 
     def alpha_step(alpha, inp):
         a_k, p_k = inp                               # (B,), (B,)
@@ -69,10 +91,13 @@ def siso_decode_scan(ls: jax.Array, lp: jax.Array, la: jax.Array,
         new = new - jnp.max(new, axis=1, keepdims=True)
         return new, alpha                            # emit alpha BEFORE step k
 
-    _, alphas = jax.lax.scan(alpha_step, a0, (A.T, P.T))
+    alpha_out, alphas = jax.lax.scan(alpha_step, a0, (A.T, P.T))
     # alphas: (KT, B, 8) = alpha_0 .. alpha_{KT-1}
 
-    bT = jnp.full((B, N_STATES), NEG, ls.dtype).at[:, 0].set(0.0)
+    if betaT is None:
+        bT = jnp.full((B, N_STATES), NEG, ls.dtype).at[:, 0].set(0.0)
+    else:
+        bT = betaT.astype(ls.dtype)
 
     def beta_step(beta, inp):
         a_k, p_k = inp
@@ -82,10 +107,22 @@ def siso_decode_scan(ls: jax.Array, lp: jax.Array, la: jax.Array,
         new = maxstar2(nxt0, nxt1, mode)
         new = new - jnp.max(new, axis=1, keepdims=True)
         return new, beta                             # emit beta AFTER step k
-    _, betas = jax.lax.scan(beta_step, bT, (A.T, P.T), reverse=True)
+    beta_out, betas = jax.lax.scan(beta_step, bT, (A.T, P.T), reverse=True)
     # betas: (KT, B, 8) = beta_1 .. beta_KT
 
-    # LLR for info positions only.
+    L, Le = llr_stage(alphas, betas, A, P, ls, la, mode)
+    return L, Le, alpha_out, beta_out
+
+
+def llr_stage(alphas: jax.Array, betas: jax.Array, A: jax.Array, P: jax.Array,
+              ls: jax.Array, la: jax.Array, mode: str) -> tuple[jax.Array, jax.Array]:
+    """Final BCJR stage shared by all SISO impls.
+
+    alphas: (KT, B, 8) alpha BEFORE each step; betas: (KT, B, 8) beta AFTER
+    each step; A = -(la+ls), P = -lp of shape (B, KT).
+    """
+    ns, _, _, par = _tables()
+    K = la.shape[1]
     ak = alphas[:K]                                  # (K, B, 8) alpha_k
     bk1 = betas[:K]                                  # (K, B, 8) beta_{k+1}
     Ak = A.T[:K][:, :, None]                         # (K, B, 1)
