@@ -78,6 +78,10 @@ def turbo_decode(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
     """
     B, K = ls.shape
     assert K == cfg.K
+    if cfg.siso == "pallas":
+        # Transpose-free hot loop in the kernel's native cell layout.
+        from .turbo_cells import turbo_decode_cells
+        return turbo_decode_cells(ls, lp1, lp2, tail1, tail2, cfg)
     perm = jnp.asarray(cfg.perm())
     inv = jnp.asarray(cfg.inv())
     siso = get_siso(cfg)

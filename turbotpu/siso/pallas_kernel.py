@@ -138,62 +138,78 @@ def _make_kernel(n_win: int, W: int, mode: str):
                 p_hbm.at[cell, pl.ds(w * W, W)], p_buf.at[slot], p_sem.at[slot])
             return a, p
 
-        # ---------------- Phase 1: forward alpha, checkpoints only --------
-        for d in in_dma(0, 0):
-            d.start()
-        alpha = _init_e0()
-        for w in range(n_win):
-            slot = w % 2
-            if w + 1 < n_win:
-                for d in in_dma((w + 1) % 2, w + 1):
-                    d.start()
+        def start_in(slot, w):
+            for d in in_dma(slot, w):
+                d.start()
+
+        def wait_in(slot, w):
             for d in in_dma(slot, w):
                 d.wait()
+
+        def chunk(buf, slot, i):
+            """One unroll-block of branch metrics: (UNROLL, 8, 128)."""
+            return buf[slot, pl.ds(i * UNROLL, UNROLL)]
+
+        # ---------------- Phase 1: forward alpha, checkpoints only --------
+        start_in(0, 0)
+
+        def phase1_body(w, alpha):
+            slot = jax.lax.rem(w, 2)
+
+            @pl.when(w + 1 < n_win)
+            def _():
+                start_in(jax.lax.rem(w + 1, 2), w + 1)
+
+            wait_in(slot, w)
             for s in range(8):
                 ckpt[w, s] = alpha[s]
 
             def fwd_body(i, alpha):
+                ca = chunk(a_buf, slot, i)
+                cp = chunk(p_buf, slot, i)
                 for j in range(UNROLL):
-                    t = i * UNROLL + j
-                    alpha = _alpha_step(alpha, a_buf[slot, t], p_buf[slot, t],
-                                        mode)
+                    alpha = _alpha_step(alpha, ca[j], cp[j], mode)
                 return _renorm(alpha)
 
-            alpha = jax.lax.fori_loop(0, n_sub, fwd_body, alpha)
+            return jax.lax.fori_loop(0, n_sub, fwd_body, alpha)
+
+        jax.lax.fori_loop(0, n_win, phase1_body, _init_e0())
 
         # ---------------- Phase 2: backward, recompute alpha, emit Le -----
-        for d in in_dma(n_win % 2, n_win - 1):
-            d.start()
-        beta = _init_e0()
-        for w in range(n_win - 1, -1, -1):
-            slot = (w + 1) % 2
-            if w - 1 >= 0:
-                for d in in_dma(w % 2, w - 1):
-                    d.start()
-            for d in in_dma(slot, w):
-                d.wait()
+        start_in((n_win - 1) % 2, n_win - 1)
 
+        def phase2_body(wi, beta):
+            w = n_win - 1 - wi
+            slot = jax.lax.rem(w, 2)
+
+            @pl.when(w - 1 >= 0)
+            def _():
+                start_in(jax.lax.rem(w + 1, 2), w - 1)
+
+            wait_in(slot, w)
             alpha = tuple(ckpt[w, s] for s in range(8))
 
             def rec_body(i, alpha):
+                ca = chunk(a_buf, slot, i)
+                cp = chunk(p_buf, slot, i)
                 for j in range(UNROLL):
                     t = i * UNROLL + j
                     for s in range(8):
                         aw[t, s] = alpha[s]
-                    alpha = _alpha_step(alpha, a_buf[slot, t], p_buf[slot, t],
-                                        mode)
+                    alpha = _alpha_step(alpha, ca[j], cp[j], mode)
                 return _renorm(alpha)
 
             jax.lax.fori_loop(0, n_sub, rec_body, alpha)
 
             def bwd_body(i, beta):
-                for j in range(UNROLL):
-                    t = W - 1 - (i * UNROLL + j)
-                    a_row = a_buf[slot, t]
-                    p_row = p_buf[slot, t]
+                i0 = W - (i + 1) * UNROLL
+                ca = chunk(a_buf, slot, i0 // UNROLL)
+                cp = chunk(p_buf, slot, i0 // UNROLL)
+                for j in range(UNROLL - 1, -1, -1):
+                    t = i0 + j
                     alpha_t = tuple(aw[t, s] for s in range(8))
-                    le_buf[t] = _extrinsic(alpha_t, beta, p_row, mode)
-                    beta = _beta_step(beta, a_row, p_row, mode)
+                    le_buf[t] = _extrinsic(alpha_t, beta, cp[j], mode)
+                    beta = _beta_step(beta, ca[j], cp[j], mode)
                 return _renorm(beta)
 
             beta = jax.lax.fori_loop(0, n_sub, bwd_body, beta)
@@ -205,6 +221,9 @@ def _make_kernel(n_win: int, W: int, mode: str):
                 le_buf, le_hbm.at[cell, pl.ds(w * W, W)], o_sem)
             out.start()
             out.wait()
+            return beta
+
+        jax.lax.fori_loop(0, n_win, phase2_body, _init_e0())
 
     return kernel
 
@@ -235,6 +254,38 @@ def _build_call(n_cells: int, KTp: int, W: int, mode: str, interpret: bool):
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def window_len(KT: int) -> int:
+    return 128 if KT >= 256 else _round_up(KT, UNROLL)
+
+
+def to_cells(x: jax.Array) -> jax.Array:
+    """(Bp, T) -> (cells, T, 8, 128), batch b = cell*1024 + sub*128 + lane.
+    Bp must be a multiple of CELL."""
+    Bp, T = x.shape
+    return x.reshape(Bp // CELL, 8, 128, T).transpose(0, 3, 1, 2)
+
+
+def from_cells(x: jax.Array) -> jax.Array:
+    """(cells, T, 8, 128) -> (cells*1024, T)."""
+    n, T, _, _ = x.shape
+    return x.transpose(0, 2, 3, 1).reshape(n * CELL, T)
+
+
+def siso_cells(A_cells: jax.Array, P_cells: jax.Array, mode: str,
+               interpret: bool | None = None) -> jax.Array:
+    """Cell-layout kernel entry: branch metrics in, extrinsics out.
+
+    A = -(la + ls), P = -lp, each (cells, KTp, 8, 128) with KTp a multiple
+    of the window and trailing pad steps encoded as A = -BIG, P = 0.
+    Returns Le in the same layout (rows beyond the info length are garbage).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_cells, KTp = A_cells.shape[:2]
+    W = window_len(KTp)
+    return _build_call(n_cells, KTp, W, mode, interpret)(A_cells, P_cells)
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "interpret"))
