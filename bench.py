@@ -15,15 +15,15 @@ def main():
     from turbotpu.decoder.turbo import DecoderConfig
     from turbotpu.harness.bench import bench_decode
 
-    K, B, iters = 6144, 128, 6
+    K, B, iters = 6144, 1024, 6
     last_err = None
     for siso in ("pallas", "scan"):
         try:
             cfg = DecoderConfig(K=K, n_iters=iters, mode="maxlog",
                                 ext_scale=0.75, siso=siso)
-            rec = bench_decode(cfg, B, n_timed=5, n_warmup=2)
+            rec = bench_decode(cfg, B, n_timed=16, n_warmup=1)
             break
-        except Exception as e:  # pallas path may not exist yet
+        except Exception as e:  # fall back if the Pallas path regresses
             last_err = e
     else:
         raise last_err
