@@ -1,0 +1,52 @@
+"""Performance guards (SURVEY.md section 5): no recompilation in steady
+state; throughput floors are tpu-marked and run only on real hardware."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from turbotpu.decoder.turbo import DecoderConfig, turbo_decode
+from turbotpu.harness.ber import SimConfig, make_step
+from turbotpu.harness.profiling import compile_count_guard, compiled_stats, kernel_ir
+
+
+def test_no_recompile_across_monte_carlo_steps():
+    cfg = SimConfig(name="g", K=40, B=8,
+                    decoder=DecoderConfig(K=40, n_iters=2), use_crc=False)
+    step = make_step(cfg)
+    k = jax.random.key(0)
+    step(k, jnp.float32(2.0))  # compile once
+    with compile_count_guard(max_new=0):
+        for i in range(3):
+            k, sub = jax.random.split(k)
+            step(sub, jnp.float32(2.0 + i * 0.001))
+
+
+def test_no_recompile_across_decode_batches():
+    cfg = DecoderConfig(K=40, n_iters=2)
+    x = jnp.zeros((4, 40), jnp.float32)
+    t = jnp.zeros((4, 6), jnp.float32)
+    turbo_decode(x, x, x, t, t, cfg)
+    with compile_count_guard(max_new=0):
+        turbo_decode(x + 1, x, x, t, t, cfg)
+
+
+def test_ir_dump_works():
+    cfg = DecoderConfig(K=40, n_iters=1)
+    x = jnp.zeros((2, 40), jnp.float32)
+    t = jnp.zeros((2, 6), jnp.float32)
+    ir = kernel_ir(lambda *a: turbo_decode(*a, cfg), x, x, x, t, t)
+    assert "stablehlo" in ir or "module" in ir
+
+
+@pytest.mark.tpu
+def test_throughput_floor_tpu():
+    """Real-hardware floor: the flagship decode must stay above the
+    125 Mbit/s/chip driver target with wide margin."""
+    from turbotpu.harness.bench import bench_decode
+    cfg = DecoderConfig(K=6144, n_iters=6, mode="maxlog", ext_scale=0.75,
+                        siso="pallas")
+    rec = bench_decode(cfg, 1024, n_timed=8)
+    assert rec["mbit_per_s"] > 500, rec

@@ -1,0 +1,72 @@
+"""Mixed block-size decoding via shape bucketing (SURVEY.md section 3,
+component 21; section 8 hard part 3).
+
+The 3GPP code has 188 (LTE) / 5075 (UMTS) legal block sizes; jitting one
+decoder per exact K would trigger a recompilation storm.  decode_mixed
+groups codewords into per-K buckets (one jit specialization per DISTINCT K
+in the workload, compiled once and cached by DecoderConfig hashing) and
+scatters results back into input order.  A coarser mode pads every K up to
+a small set of bucket ceilings using the known-zero-bit trick so a handful
+of compiled shapes covers the full range.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import defaultdict
+
+import jax.numpy as jnp
+import numpy as np
+
+from .turbo import DecoderConfig, turbo_decode
+
+
+@dataclasses.dataclass
+class MixedResult:
+    hard: list[np.ndarray]     # per-codeword decoded bits (ragged)
+    iters: np.ndarray          # (B,)
+    L: list[np.ndarray]        # per-codeword LLRs (ragged)
+
+
+def decode_mixed(codewords: list[dict], base_cfg: DecoderConfig) -> MixedResult:
+    """Decode codewords of heterogeneous K in per-K buckets.
+
+    Each codeword dict: {"ls": (K,), "lp1": (K,), "lp2": (K,),
+    "tail1": (6,), "tail2": (6,)}.  base_cfg.K is ignored; every other
+    field (mode, iters, early termination, interleaver) applies to all.
+    """
+    buckets: dict[int, list[int]] = defaultdict(list)
+    for i, cw in enumerate(codewords):
+        buckets[len(cw["ls"])].append(i)
+
+    B = len(codewords)
+    hard: list[np.ndarray | None] = [None] * B
+    L: list[np.ndarray | None] = [None] * B
+    iters = np.zeros(B, np.int32)
+    for K, idxs in sorted(buckets.items()):
+        cfg = dataclasses.replace(base_cfg, K=K)
+        stack = lambda key: jnp.asarray(
+            np.stack([np.asarray(codewords[i][key], np.float32) for i in idxs]))
+        h, it, Lb = turbo_decode(stack("ls"), stack("lp1"), stack("lp2"),
+                                 stack("tail1"), stack("tail2"), cfg)
+        h, it, Lb = np.asarray(h), np.asarray(it), np.asarray(Lb)
+        for j, i in enumerate(idxs):
+            hard[i] = h[j]
+            L[i] = Lb[j]
+            iters[i] = it[j]
+    return MixedResult(hard=hard, iters=iters, L=L)  # type: ignore[arg-type]
+
+
+def bucket_ceilings(Ks: list[int], legal: tuple[int, ...]) -> dict[int, int]:
+    """Map each K to the smallest ceiling in `legal` >= K (pad-to-bucket
+    compile-shape reduction).  Padding itself uses the known-zero-bit trick
+    at the tx side (filler bits), so ceilings must be legal block sizes."""
+    out = {}
+    for K in Ks:
+        for c in legal:
+            if c >= K:
+                out[K] = c
+                break
+        else:
+            raise ValueError(f"no bucket ceiling for K={K}")
+    return out
