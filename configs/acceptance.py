@@ -12,6 +12,7 @@ C1 = SimConfig(
     decoder=DecoderConfig(K=40, n_iters=4, mode="logmap"),
     use_crc=False,
     min_frame_errors=30,
+    steps_per_check=32,
 )
 
 # C2: LTE K=6144 max block, max-log-MAP, 6 iters, batch=64.
@@ -19,9 +20,11 @@ C2 = SimConfig(
     name="c2_lte_k6144",
     K=6144, B=64,
     ebn0_db_grid=(0.4, 0.6, 0.8, 1.0),
-    decoder=DecoderConfig(K=6144, n_iters=6, mode="maxlog", ext_scale=0.75),
+    decoder=DecoderConfig(K=6144, n_iters=6, mode="maxlog", ext_scale=0.75,
+                          siso="pallas", early_term="crc"),
     use_crc=True,
     min_frame_errors=30,
+    steps_per_check=8,
 )
 
 # C3: UMTS (prunable interleaver), CRC early termination, mixed block sizes.
@@ -30,35 +33,44 @@ C3_SIZES = (320, 1280, 5114)
 C3 = tuple(
     SimConfig(
         name=f"c3_umts_k{k}",
-        K=k, B=16,
+        K=k, B=128,
         ebn0_db_grid=(0.5, 1.0, 1.5),
         decoder=DecoderConfig(K=k, n_iters=8, mode="logmap",
-                              interleaver="umts", early_term="crc"),
+                              interleaver="umts", early_term="crc",
+                              siso="pallas"),
         use_crc=True,
         min_frame_errors=30,
+        max_frames=51_200,
+        steps_per_check=8,
     ) for k in C3_SIZES
 )
 
 # C4: rate-matched LTE (puncturing + repetition) full Eb/N0 sweep.
 C4_PUNCTURED = SimConfig(
     name="c4_rm_punctured",
-    K=1024, B=32,
+    K=1024, B=128,
     # rate 1/2 via puncturing: E = 2*K
     E=2048, rv=0,
     ebn0_db_grid=(1.0, 1.4, 1.8, 2.2),
-    decoder=DecoderConfig(K=1024, n_iters=8, mode="logmap", early_term="crc"),
+    decoder=DecoderConfig(K=1024, n_iters=8, mode="logmap", early_term="crc",
+                          siso="pallas"),
     use_crc=True,
     min_frame_errors=30,
+    max_frames=51_200,
+    steps_per_check=8,
 )
 C4_REPEATED = SimConfig(
     name="c4_rm_repeated",
-    K=1024, B=32,
+    K=1024, B=128,
     # rate 1/4 via repetition: E = 4*K > 3K+12
     E=4096, rv=0,
     ebn0_db_grid=(-0.6, -0.2, 0.2, 0.6),
-    decoder=DecoderConfig(K=1024, n_iters=8, mode="logmap", early_term="crc"),
+    decoder=DecoderConfig(K=1024, n_iters=8, mode="logmap", early_term="crc",
+                          siso="pallas"),
     use_crc=True,
     min_frame_errors=30,
+    max_frames=51_200,
+    steps_per_check=8,
 )
 
 # C5: multi-host 4096 codewords, sliding-window BCJR, boundary collectives.

@@ -1,0 +1,67 @@
+"""Two-process jax.distributed smoke test on localhost (SURVEY.md section 5;
+slow-marked: spawns subprocesses with their own JAX runtimes)."""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+proc_id = int(sys.argv[1])
+jax.distributed.initialize(coordinator_address="127.0.0.1:19761",
+                           num_processes=2, process_id=proc_id)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from turbotpu.decoder.turbo import DecoderConfig
+from turbotpu.dist.data_parallel import count_errors_sharded, decode_batch_sharded
+from turbotpu.dist.mesh import make_mesh
+from turbotpu.dist.multihost import host_local_batch, make_global_array
+
+mesh = make_mesh(data=8, seq=1)
+K, Bg = 40, 16
+Bl = host_local_batch(Bg)
+rng = np.random.default_rng(proc_id)
+mk = lambda *s: np.asarray(rng.normal(size=s), np.float32)
+args = [make_global_array(mk(Bl, K), mesh) for _ in range(3)]
+tails = [make_global_array(mk(Bl, 6), mesh) for _ in range(2)]
+decode = decode_batch_sharded(mesh, DecoderConfig(K=K, n_iters=2))
+hard, iters, L = decode(*args, *tails)
+count = count_errors_sharded(mesh)
+ref = make_global_array(np.zeros((Bl, K), np.int8), mesh)
+bit, frame = count(hard, ref)
+print("RESULT", proc_id, int(bit), int(frame), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_localhost(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(pathlib.Path(__file__).parents[2]) + os.pathsep + \
+        env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen([sys.executable, str(worker), str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env, text=True)
+             for i in range(2)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    results = sorted(line for out in outs for line in out.splitlines()
+                     if line.startswith("RESULT"))
+    assert len(results) == 2
+    # Both processes must observe identical global psum counts.
+    a = results[0].split()[2:]
+    b = results[1].split()[2:]
+    assert a == b

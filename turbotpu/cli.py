@@ -57,6 +57,24 @@ def main(argv=None):
     bench.add_argument("--profile", default=None,
                        help="write a jax.profiler trace to this directory")
 
+    sc = sub.add_parser("scaling", help="multi-device scaling efficiency")
+    _add_common(sc)
+    sc.add_argument("--k", type=int, default=6144)
+    sc.add_argument("--per-device-batch", type=int, default=1024)
+    sc.add_argument("--iters", type=int, default=6)
+    sc.add_argument("--siso", default="pallas")
+    sc.add_argument("--devices", type=int, nargs="+", default=None)
+
+    c5 = sub.add_parser("c5", help="C5 acceptance: sharded batch decode "
+                        "with windowed BCJR + boundary collectives")
+    _add_common(c5)
+    c5.add_argument("--k", type=int, default=6144)
+    c5.add_argument("--batch", type=int, default=4096)
+    c5.add_argument("--ebn0", type=float, default=0.8)
+    c5.add_argument("--iters", type=int, default=6)
+    c5.add_argument("--data", type=int, default=None)
+    c5.add_argument("--seq", type=int, default=2)
+
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -103,6 +121,22 @@ def main(argv=None):
             print(f"profile written to {args.profile}", file=sys.stderr)
         else:
             rec = bench_decode(cfg, args.batch, n_timed=args.reps)
+        print(json.dumps(rec))
+        return 0
+
+    if args.cmd == "scaling":
+        from turbotpu.harness.scaling import bench_scaling
+        cfg = DecoderConfig(K=args.k, n_iters=args.iters, mode="maxlog",
+                            ext_scale=0.75, siso=args.siso)
+        for rec in bench_scaling(cfg, args.per_device_batch, args.devices):
+            print(json.dumps(rec))
+        return 0
+
+    if args.cmd == "c5":
+        from turbotpu.harness.c5 import run_c5
+        rec = run_c5(K=args.k, B=args.batch, ebn0_db=args.ebn0,
+                     n_iters=args.iters, data=args.data, seq=args.seq,
+                     verbose=False)
         print(json.dumps(rec))
         return 0
 

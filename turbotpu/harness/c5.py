@@ -1,0 +1,100 @@
+"""C5 acceptance runner: large codeword batch sharded over a device mesh,
+sliding-window BCJR with boundary-metric collectives (BASELINE.json config
+5).  Runs unchanged on a real multi-chip slice, a single chip (1x1 mesh),
+or the 8-fake-device CPU test mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..decoder.turbo import DecoderConfig
+from ..dist.data_parallel import count_errors_sharded
+from ..dist.mesh import make_mesh
+from ..dist.multihost import host_local_batch, init_distributed, make_global_array
+from ..dist.seq_parallel import decode_seq_sharded
+from ..golden import numpy_ref as npr
+from ..spec.crc import CRC24A_POLY, crc_attach
+from .bench import measure_roundtrip, _timed
+
+
+def make_batch(K: int, B: int, ebn0_db: float, seed: int, interleaver="lte",
+               with_crc=True, n_unique: int = 16):
+    """Host-side noisy batch (n_unique distinct codewords tiled to B)."""
+    from ..spec.qpp import qpp_perm
+    from ..spec.umts import umts_perm
+    rng = np.random.default_rng(seed)
+    perm = qpp_perm(K) if interleaver == "lte" else umts_perm(K)
+    bits = []
+    parts = [[] for _ in range(5)]
+    for _ in range(min(B, n_unique)):
+        if with_crc:
+            row = crc_attach(rng.integers(0, 2, K - 24).astype(np.int8),
+                             CRC24A_POLY)
+        else:
+            row = rng.integers(0, 2, K).astype(np.int8)
+        bits.append(row)
+        for i, x in enumerate(npr.turbo_encode(row, perm)):
+            parts[i].append(x)
+    reps = -(-B // len(bits))
+    bits = np.tile(np.stack(bits), (reps, 1))[:B]
+    sigma = np.sqrt(1 / (2 * 10 ** (ebn0_db / 10) / 3))
+    noisy = []
+    for p in parts:
+        a = np.tile(np.stack(p).astype(np.float64), (reps, 1))[:B]
+        y = (1 - 2 * a) + sigma * rng.normal(size=a.shape)
+        noisy.append((2 * y / sigma ** 2).astype(np.float32))
+    return bits, noisy
+
+
+def run_c5(K: int = 6144, B: int = 4096, ebn0_db: float = 0.8,
+           n_iters: int = 6, data: int | None = None, seq: int = 2,
+           n_timed: int = 4, seed: int = 0, verbose: bool = True) -> dict:
+    multi = init_distributed()
+    n_dev = len(jax.devices())
+    if data is None:
+        data = max(1, n_dev // seq)
+    if data * seq > n_dev:
+        seq = 1
+        data = n_dev
+    mesh = make_mesh(data=data, seq=seq)
+    cfg = DecoderConfig(K=K, n_iters=n_iters, mode="maxlog", ext_scale=0.75,
+                        early_term="crc")
+    decode = decode_seq_sharded(mesh, cfg)
+    count = count_errors_sharded(mesh)
+
+    B_local = host_local_batch(B)
+    bits_l, noisy_l = make_batch(K, B_local, ebn0_db, seed + jax.process_index())
+    args = [make_global_array(x, mesh) for x in noisy_l]
+    ref = make_global_array(bits_l, mesh)
+
+    hard, iters, L = decode(*args)
+    bit, frame = count(hard, ref)
+    bit, frame = int(bit), int(frame)
+
+    floor = measure_roundtrip()
+
+    def once():
+        hard, iters, L = decode(*args)
+        b, f = count(hard, ref)
+        return int(b) + int(f)
+
+    once()
+    wall = min(_timed(once) for _ in range(n_timed))
+    wall = max(wall - floor, 1e-9)
+    rec = {
+        "K": K, "B": B, "mesh": {"data": data, "seq": seq},
+        "processes": jax.process_count(), "devices": n_dev,
+        "ebn0_db": ebn0_db, "bit_errs": bit, "frame_errs": frame,
+        "ber": bit / (B * K), "fer": frame / B,
+        "wall_s": wall, "mbit_per_s": B * K / wall / 1e6,
+    }
+    if verbose and jax.process_index() == 0:
+        print(rec)
+    return rec
