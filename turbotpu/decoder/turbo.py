@@ -97,8 +97,12 @@ def turbo_decode(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
     else:
         G = None
 
-    def body(_, carry):
-        le21, L_prev, hard_prev, done, iters = carry
+    def cond(carry):
+        it, le21, L_prev, hard_prev, done, iters = carry
+        return (it < cfg.n_iters) & ~jnp.all(done)
+
+    def body(carry):
+        it, le21, L_prev, hard_prev, done, iters = carry
         _, le1 = siso(ls1, lp1f, le21, mode=cfg.mode)
         le1 = le1 * scale
         _, le2 = siso(ls2, lp2f, le1[:, perm], mode=cfg.mode)
@@ -121,10 +125,12 @@ def turbo_decode(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
         hard = jnp.where(keep, hard_prev, hard_new)
         iters = iters + (~done).astype(jnp.int32)
         done = done | newly_done
-        return le21, L, hard, done, iters
+        return it + 1, le21, L, hard, done, iters
 
-    init = (jnp.zeros_like(ls), jnp.zeros_like(ls),
+    init = (jnp.int32(0), jnp.zeros_like(ls), jnp.zeros_like(ls),
             jnp.zeros(ls.shape, jnp.int8), jnp.zeros((B,), bool),
             jnp.zeros((B,), jnp.int32))
-    le21, L, hard, done, iters = jax.lax.fori_loop(0, cfg.n_iters, body, init)
+    # while_loop: avoids XLA unrolling the iteration loop (compile blowup)
+    # and exits early once every codeword in the batch has converged.
+    _, le21, L, hard, done, iters = jax.lax.while_loop(cond, body, init)
     return hard, iters, L

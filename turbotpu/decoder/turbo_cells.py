@@ -1,12 +1,11 @@
 """Turbo decode loop in the Pallas kernel's native cell layout.
 
 Keeps every per-iteration tensor in (cells, T, 8, 128) layout so the hot
-loop runs transpose-free: interleaving is a gather on the time axis, the
-CRC check contracts the time axis directly with dot_general, and per
--codeword freeze masks live as (cells, 8, 128) tiles.  Only the initial
-channel-LLR packing and the final hard-bit unpacking cross layouts
-(SURVEY.md section 4.2; the transposes otherwise cost ~as much HBM traffic
-as the SISO kernel itself).
+loop runs transpose-free, and leans on the fused kernel to form branch
+metrics in VMEM: the only per-iteration HBM traffic outside the kernel is
+the extrinsic interleave gather and the early-termination bookkeeping
+(SURVEY.md section 4.2).  Channel-LLR packing and hard-bit unpacking cross
+layouts once each.
 """
 
 from __future__ import annotations
@@ -19,7 +18,6 @@ import numpy as np
 
 from ..siso.pallas_kernel import (BIG, CELL, from_cells, siso_cells,
                                   to_cells, window_len, _round_up)
-from ..spec.crc import crc_matrix
 from .early_term import _crc_check_matrix_np
 from .turbo import DecoderConfig
 
@@ -34,13 +32,17 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
     KT = K + 3
     W = window_len(KT)
     KTp = _round_up(KT, W)
-    perm = jnp.asarray(cfg.perm())
-    inv = jnp.asarray(cfg.inv())
+    perm = np.asarray(cfg.perm())
+    inv = np.asarray(cfg.inv())
+    # Extended permutations cover the pad region (gathered rows >= K are
+    # masked to zero a-priori inside the kernel, so index 0 is fine there).
+    ext = np.arange(K, KTp, dtype=np.int32)
+    perm_e = jnp.asarray(np.concatenate([perm.astype(np.int32), ext]))
+    inv_e = jnp.asarray(np.concatenate([inv.astype(np.int32), ext]))
     scale = cfg.ext_scale if cfg.ext_scale else (0.75 if cfg.mode == "maxlog" else 1.0)
     Bp = _round_up(B, CELL)
     padb = lambda x: jnp.pad(x.astype(jnp.float32), ((0, Bp - B), (0, 0)))
 
-    # Build padded natural/interleaved streams once, then cell-ify.
     def stream(body, tail, pad_val):
         full = jnp.concatenate([body, tail], axis=1)
         full = jnp.pad(full, ((0, 0), (0, KTp - KT)), constant_values=pad_val)
@@ -50,8 +52,6 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
     lp1_c = stream(lp1, tail1[:, 1::2], 0.0)
     ls2_c = stream(ls[:, perm], tail2[:, 0::2], BIG)
     lp2_c = stream(lp2, tail2[:, 1::2], 0.0)
-    P1 = -lp1_c
-    P2 = -lp2_c
     n_cells = ls1_c.shape[0]
 
     if cfg.early_term == "crc":
@@ -59,21 +59,19 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
     else:
         G = None
 
-    zpad = jnp.zeros((n_cells, KTp - K, 8, 128), jnp.float32)
+    def cond(carry):
+        it, le21, L_prev, hard_prev, done, iters = carry
+        return (it < cfg.n_iters) & ~jnp.all(done)
 
-    def pad_time(x):
-        return jnp.concatenate([x, zpad], axis=1)
-
-    def body(_, carry):
-        le21, L_prev, hard_prev, done, iters = carry
-        # SISO1 (natural order): A = -(la + ls).
-        A1 = -(pad_time(le21) + ls1_c)
-        le1 = siso_cells(A1, P1, cfg.mode)[:, :K] * scale
-        # SISO2 (interleaved order).
-        A2 = -(pad_time(le1[:, perm]) + ls2_c)
-        le2 = siso_cells(A2, P2, cfg.mode)[:, :K] * scale
-        le21_new = le2[:, inv]
-        L_new = ls1_c[:, :K] + le1 + le21_new
+    def body(carry):
+        it, le21, L_prev, hard_prev, done, iters = carry
+        # SISO1 (natural order); le21 rows >= K are garbage, masked in-kernel.
+        le1 = siso_cells(ls1_c, lp1_c, le21, K, cfg.mode, scale)
+        # SISO2 (interleaved order): a-priori is scale*le1 gathered by perm;
+        # the kernel applies the scaling, so the gather is a pure gather.
+        le2 = siso_cells(ls2_c, lp2_c, le1[:, perm_e], K, cfg.mode, scale)
+        le21_new = le2[:, inv_e]
+        L_new = (ls1_c[:, :K] + scale * (le1[:, :K] + le21_new[:, :K]))
         hard_new = (L_new < 0).astype(jnp.int8)
 
         if cfg.early_term == "crc":
@@ -93,13 +91,17 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
         hard = jnp.where(keep, hard_prev, hard_new)
         iters = iters + (~done).astype(jnp.int32)
         done = done | newly_done
-        return le21, L, hard, done, iters
+        return it + 1, le21, L, hard, done, iters
 
-    z = jnp.zeros((n_cells, K, 8, 128), jnp.float32)
-    init = (z, z, jnp.zeros(z.shape, jnp.int8),
+    zT = jnp.zeros((n_cells, KTp, 8, 128), jnp.float32)
+    zK = jnp.zeros((n_cells, K, 8, 128), jnp.float32)
+    init = (jnp.int32(0), zT, zK, jnp.zeros(zK.shape, jnp.int8),
             jnp.zeros((n_cells, 8, 128), bool),
             jnp.zeros((n_cells, 8, 128), jnp.int32))
-    le21, L, hard, done, iters = jax.lax.fori_loop(0, cfg.n_iters, body, init)
+    # while_loop (not fori): XLA would fully unroll a 6-trip fori,
+    # instantiating the Mosaic kernel 12x (multi-minute compiles); the
+    # dynamic condition also exits as soon as every codeword's CRC passes.
+    _, le21, L, hard, done, iters = jax.lax.while_loop(cond, body, init)
 
     hard_b = from_cells(hard)[:B]
     L_b = from_cells(L)[:B]

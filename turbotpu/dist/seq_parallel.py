@@ -106,8 +106,12 @@ def decode_seq_sharded(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             b_in = jax.lax.ppermute(b_out, "seq", bwd)
             return a_in, b_in
 
-        def body(_, carry):
-            (le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters) = carry
+        def cond(carry):
+            (it, le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters) = carry
+            return (it < cfg.n_iters) & ~jnp.all(done)
+
+        def body(carry):
+            (it, le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters) = carry
             le1_c, a1o, b1o = siso_chunk(ls1, lp1f, le21, a1, b1, j)
             le1 = gather_le(le1_c) * scale
             le2_c, a2o, b2o = siso_chunk(ls2, lp2f, le1[:, perm], a2, b2, j)
@@ -130,13 +134,16 @@ def decode_seq_sharded(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             hard = jnp.where(keep, hard_prev, hard_new)
             iters = iters + (~done).astype(jnp.int32)
             done = done | newly_done
-            return (le21, a1n, b1n, a2n, b2n, L, hard, done, iters)
+            return (it + 1, le21, a1n, b1n, a2n, b2n, L, hard, done, iters)
 
-        init = (jnp.zeros((B, K), ls.dtype), uni, uni, uni, uni,
+        init = (jnp.int32(0), jnp.zeros((B, K), ls.dtype), uni, uni, uni, uni,
                 jnp.zeros((B, K), ls.dtype), jnp.zeros((B, K), jnp.int8),
                 jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32))
-        out = jax.lax.fori_loop(0, cfg.n_iters, body, init)
-        (_, _, _, _, _, L, hard, done, iters) = out
+        # while_loop: no unrolling, plus whole-batch early exit; the CRC
+        # early-term decision is replicated across 'seq' shards, so every
+        # shard takes the same trip count and ppermutes stay matched.
+        out = jax.lax.while_loop(cond, body, init)
+        (_, _, _, _, _, _, L, hard, done, iters) = out
         return hard, iters, L
 
     return decode

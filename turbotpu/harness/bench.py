@@ -76,8 +76,10 @@ def bench_decode(cfg: DecoderConfig, B: int, n_timed: int = 16,
         return acc
 
     floor = measure_roundtrip()
-    for _ in range(n_warmup):
-        float(run(inputs, 1))
+    for _ in range(max(n_warmup, 1)):
+        # Warm with the same static rep count -- a different count would
+        # trigger a second multi-minute compile of the whole chain.
+        float(run(inputs, n_timed))
     wall = min(_timed(lambda: float(run(inputs, n_timed))) for _ in range(3))
     wall = max(wall - floor, 1e-9) / n_timed
     info_bits = B * cfg.K

@@ -123,20 +123,46 @@ def _init_e0():
     return (z,) + (neg,) * 7
 
 
-def _make_kernel(n_win: int, W: int, mode: str):
+def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
+                 boundary: bool):
+    """Fused SISO kernel body.
+
+    Streams raw (ls, lp, la) from HBM and forms branch metrics in VMEM:
+        A = -(scale * la * [t < K_real] + ls),   P = -lp
+    so the turbo loop never materializes branch-metric tensors in HBM
+    (that glue cost rivaled the kernel itself).  The [t < K_real] mask
+    zeroes a-priori on tail/pad steps, letting callers pass extrinsic
+    buffers with garbage beyond the info region.
+
+    With boundary=True the recursions start from caller-provided edge
+    metrics (alpha0/betaT per codeword) and the kernel also returns the
+    outgoing edges -- the contract the cross-device windowed BCJR uses.
+    """
     n_sub = W // UNROLL
     assert W % UNROLL == 0
 
-    def kernel(a_hbm, p_hbm, le_hbm, a_buf, p_buf, ckpt, aw, le_buf,
-               a_sem, p_sem, o_sem):
+    def kernel(*refs):
+        if boundary:
+            (ls_hbm, lp_hbm, la_hbm, a0_ref, bT_ref,
+             le_hbm, aout_ref, bout_ref,
+             ls_buf, lp_buf, la_buf, ckpt, aw, le_buf,
+             ls_sem, lp_sem, la_sem, o_sem) = refs
+        else:
+            (ls_hbm, lp_hbm, la_hbm,
+             le_hbm,
+             ls_buf, lp_buf, la_buf, ckpt, aw, le_buf,
+             ls_sem, lp_sem, la_sem, o_sem) = refs
         cell = pl.program_id(0)
 
         def in_dma(slot, w):
-            a = pltpu.make_async_copy(
-                a_hbm.at[cell, pl.ds(w * W, W)], a_buf.at[slot], a_sem.at[slot])
-            p = pltpu.make_async_copy(
-                p_hbm.at[cell, pl.ds(w * W, W)], p_buf.at[slot], p_sem.at[slot])
-            return a, p
+            return (
+                pltpu.make_async_copy(ls_hbm.at[cell, pl.ds(w * W, W)],
+                                      ls_buf.at[slot], ls_sem.at[slot]),
+                pltpu.make_async_copy(lp_hbm.at[cell, pl.ds(w * W, W)],
+                                      lp_buf.at[slot], lp_sem.at[slot]),
+                pltpu.make_async_copy(la_hbm.at[cell, pl.ds(w * W, W)],
+                                      la_buf.at[slot], la_sem.at[slot]),
+            )
 
         def start_in(slot, w):
             for d in in_dma(slot, w):
@@ -146,12 +172,29 @@ def _make_kernel(n_win: int, W: int, mode: str):
             for d in in_dma(slot, w):
                 d.wait()
 
-        def chunk(buf, slot, i):
-            """One unroll-block of branch metrics: (UNROLL, 8, 128)."""
-            return buf[slot, pl.ds(i * UNROLL, UNROLL)]
+        def rows(slot, i, w):
+            """Branch metrics for one unroll block, formed in registers:
+            a = -(scale * la * [t < K_real] + ls), p = -lp.  (A whole-window
+            precompute into VMEM scratch lowered ~80x slower in Mosaic --
+            keep this per-block.)"""
+            cls = ls_buf[slot, pl.ds(i * UNROLL, UNROLL)]
+            clp = lp_buf[slot, pl.ds(i * UNROLL, UNROLL)]
+            cla = la_buf[slot, pl.ds(i * UNROLL, UNROLL)]
+            base = w * W + i * UNROLL
+            out = []
+            for j in range(UNROLL):
+                sm = jnp.where(base + j < K_real, jnp.float32(scale), 0.0)
+                out.append((-(cla[j] * sm + cls[j]), -clp[j]))
+            return out
 
         # ---------------- Phase 1: forward alpha, checkpoints only --------
         start_in(0, 0)
+        if boundary:
+            alpha_init = tuple(a0_ref[0, s] for s in range(8))
+            beta_init = tuple(bT_ref[0, s] for s in range(8))
+        else:
+            alpha_init = _init_e0()
+            beta_init = _init_e0()
 
         def phase1_body(w, alpha):
             slot = jax.lax.rem(w, 2)
@@ -165,15 +208,16 @@ def _make_kernel(n_win: int, W: int, mode: str):
                 ckpt[w, s] = alpha[s]
 
             def fwd_body(i, alpha):
-                ca = chunk(a_buf, slot, i)
-                cp = chunk(p_buf, slot, i)
-                for j in range(UNROLL):
-                    alpha = _alpha_step(alpha, ca[j], cp[j], mode)
+                for ca, cp in rows(slot, i, w):
+                    alpha = _alpha_step(alpha, ca, cp, mode)
                 return _renorm(alpha)
 
             return jax.lax.fori_loop(0, n_sub, fwd_body, alpha)
 
-        jax.lax.fori_loop(0, n_win, phase1_body, _init_e0())
+        alpha_fin = jax.lax.fori_loop(0, n_win, phase1_body, alpha_init)
+        if boundary:
+            for s in range(8):
+                aout_ref[0, s] = alpha_fin[s]
 
         # ---------------- Phase 2: backward, recompute alpha, emit Le -----
         start_in((n_win - 1) % 2, n_win - 1)
@@ -190,26 +234,24 @@ def _make_kernel(n_win: int, W: int, mode: str):
             alpha = tuple(ckpt[w, s] for s in range(8))
 
             def rec_body(i, alpha):
-                ca = chunk(a_buf, slot, i)
-                cp = chunk(p_buf, slot, i)
-                for j in range(UNROLL):
+                for j, (ca, cp) in enumerate(rows(slot, i, w)):
                     t = i * UNROLL + j
                     for s in range(8):
                         aw[t, s] = alpha[s]
-                    alpha = _alpha_step(alpha, ca[j], cp[j], mode)
+                    alpha = _alpha_step(alpha, ca, cp, mode)
                 return _renorm(alpha)
 
             jax.lax.fori_loop(0, n_sub, rec_body, alpha)
 
             def bwd_body(i, beta):
                 i0 = W - (i + 1) * UNROLL
-                ca = chunk(a_buf, slot, i0 // UNROLL)
-                cp = chunk(p_buf, slot, i0 // UNROLL)
+                blk = rows(slot, i0 // UNROLL, w)
                 for j in range(UNROLL - 1, -1, -1):
                     t = i0 + j
+                    ca, cp = blk[j]
                     alpha_t = tuple(aw[t, s] for s in range(8))
-                    le_buf[t] = _extrinsic(alpha_t, beta, cp[j], mode)
-                    beta = _beta_step(beta, ca[j], cp[j], mode)
+                    le_buf[t] = _extrinsic(alpha_t, beta, cp, mode)
+                    beta = _beta_step(beta, ca, cp, mode)
                 return _renorm(beta)
 
             beta = jax.lax.fori_loop(0, n_sub, bwd_body, beta)
@@ -223,27 +265,42 @@ def _make_kernel(n_win: int, W: int, mode: str):
             out.wait()
             return beta
 
-        jax.lax.fori_loop(0, n_win, phase2_body, _init_e0())
+        beta_fin = jax.lax.fori_loop(0, n_win, phase2_body, beta_init)
+        if boundary:
+            for s in range(8):
+                bout_ref[0, s] = beta_fin[s]
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _build_call(n_cells: int, KTp: int, W: int, mode: str, interpret: bool):
+def _build_call(n_cells: int, KTp: int, W: int, mode: str, K_real: int,
+                scale: float, boundary: bool, interpret: bool):
     n_win = KTp // W
-    kernel = _make_kernel(n_win, W, mode)
+    kernel = _make_kernel(n_win, W, mode, K_real, scale, boundary)
+    stream = pl.BlockSpec(memory_space=pltpu.ANY)
+    edge_in = pl.BlockSpec((1, 8, 8, 128), lambda c: (c, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [stream] * 3 + ([edge_in] * 2 if boundary else [])
+    out_shape = [jax.ShapeDtypeStruct((n_cells, KTp, 8, 128), jnp.float32)]
+    out_specs = [stream]
+    if boundary:
+        out_shape += [jax.ShapeDtypeStruct((n_cells, 8, 8, 128), jnp.float32)] * 2
+        out_specs += [edge_in] * 2
     return pl.pallas_call(
         kernel,
         grid=(n_cells,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((n_cells, KTp, 8, 128), jnp.float32),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
-            pltpu.VMEM((2, W, 8, 128), jnp.float32),      # A window buffers
-            pltpu.VMEM((2, W, 8, 128), jnp.float32),      # P window buffers
+            pltpu.VMEM((2, W, 8, 128), jnp.float32),      # ls window buffers
+            pltpu.VMEM((2, W, 8, 128), jnp.float32),      # lp window buffers
+            pltpu.VMEM((2, W, 8, 128), jnp.float32),      # la window buffers
             pltpu.VMEM((n_win, 8, 8, 128), jnp.float32),  # alpha checkpoints
             pltpu.VMEM((W, 8, 8, 128), jnp.float32),      # alpha within window
             pltpu.VMEM((W, 8, 128), jnp.float32),         # Le window buffer
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -273,19 +330,31 @@ def from_cells(x: jax.Array) -> jax.Array:
     return x.transpose(0, 2, 3, 1).reshape(n * CELL, T)
 
 
-def siso_cells(A_cells: jax.Array, P_cells: jax.Array, mode: str,
-               interpret: bool | None = None) -> jax.Array:
-    """Cell-layout kernel entry: branch metrics in, extrinsics out.
+def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
+               K_real: int, mode: str, scale: float = 1.0,
+               boundaries: tuple[jax.Array, jax.Array] | None = None,
+               interpret: bool | None = None):
+    """Cell-layout kernel entry: raw LLR streams in, extrinsics out.
 
-    A = -(la + ls), P = -lp, each (cells, KTp, 8, 128) with KTp a multiple
-    of the window and trailing pad steps encoded as A = -BIG, P = 0.
-    Returns Le in the same layout (rows beyond the info length are garbage).
+    ls/lp/la: (cells, KTp, 8, 128) with KTp a multiple of the window; pad
+    steps beyond the real trellis carry ls = +BIG, lp = 0 (the known-0-bit
+    trick).  la rows at t >= K_real are ignored (masked in-kernel), so
+    extrinsic buffers may carry garbage there.  The kernel forms
+    A = -(scale*la + ls), P = -lp in VMEM -- branch metrics never touch HBM.
+
+    boundaries: optional (alpha0, betaT), each (cells, 8, 8, 128) of edge
+    state metrics per codeword; when given, returns (le, alpha_out,
+    beta_out), otherwise just le (rows >= K_real are garbage).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n_cells, KTp = A_cells.shape[:2]
+    n_cells, KTp = ls_cells.shape[:2]
     W = window_len(KTp)
-    return _build_call(n_cells, KTp, W, mode, interpret)(A_cells, P_cells)
+    call = _build_call(n_cells, KTp, W, mode, K_real, float(scale),
+                       boundaries is not None, interpret)
+    if boundaries is None:
+        return call(ls_cells, lp_cells, la_cells)[0]
+    return call(ls_cells, lp_cells, la_cells, *boundaries)
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "interpret"))
@@ -299,27 +368,19 @@ def siso_decode_pallas(ls: jax.Array, lp: jax.Array, la: jax.Array,
         interpret = jax.default_backend() != "tpu"
     B, KT = ls.shape
     K = la.shape[1]
-    W = 128 if KT >= 256 else _round_up(KT, UNROLL)
+    W = window_len(KT)
     KTp = _round_up(KT, W)
 
-    laf = jnp.pad(la, ((0, 0), (0, KT - K)))
-    A = -(laf + ls)
-    P = -lp
-    # Pad time with known-0 steps (A = -BIG, P = 0); pad batch to CELL.
-    A = jnp.pad(A, ((0, 0), (0, KTp - KT)), constant_values=-BIG)
-    P = jnp.pad(P, ((0, 0), (0, KTp - KT)))
+    laf = jnp.pad(la, ((0, 0), (0, KTp - K)))
+    # Pad time with known-0 steps (ls = +BIG, lp = 0); pad batch to CELL.
+    lsp = jnp.pad(ls, ((0, 0), (0, KTp - KT)), constant_values=BIG)
+    lpp = jnp.pad(lp, ((0, 0), (0, KTp - KT)))
     Bp = _round_up(B, CELL)
-    A = jnp.pad(A, ((0, Bp - B), (0, 0)))
-    P = jnp.pad(P, ((0, Bp - B), (0, 0)))
-    n_cells = Bp // CELL
+    padb = lambda x: jnp.pad(x.astype(jnp.float32), ((0, Bp - B), (0, 0)))
 
-    # (Bp, KTp) -> (cells, KTp, 8, 128): batch b = cell*1024 + sub*128 + lane.
-    def to_cells(x):
-        x = x.reshape(n_cells, 8, 128, KTp)
-        return x.transpose(0, 3, 1, 2)
-
-    le_cells = _build_call(n_cells, KTp, W, mode, interpret)(
-        to_cells(A.astype(jnp.float32)), to_cells(P.astype(jnp.float32)))
-    le = le_cells.transpose(0, 2, 3, 1).reshape(Bp, KTp)[:B, :K]
+    le_cells = siso_cells(to_cells(padb(lsp)), to_cells(padb(lpp)),
+                          to_cells(padb(laf)), K, mode,
+                          interpret=interpret)
+    le = from_cells(le_cells)[:B, :K]
     L = le + la + ls[:, :K]
     return L, le
