@@ -12,6 +12,15 @@ import sys
 
 
 def main():
+    import jax
+    try:
+        # Persistent compile cache: the fused decode chain takes minutes to
+        # compile cold; cached runs start in seconds.
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from turbotpu.decoder.turbo import DecoderConfig
     from turbotpu.harness.bench import bench_decode
 
@@ -24,6 +33,9 @@ def main():
             rec = bench_decode(cfg, B, n_timed=16, n_warmup=1)
             break
         except Exception as e:  # fall back if the Pallas path regresses
+            import traceback
+            print(f"[bench] siso={siso} failed, falling back:", file=sys.stderr)
+            traceback.print_exc()
             last_err = e
     else:
         raise last_err

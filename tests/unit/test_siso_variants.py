@@ -96,3 +96,19 @@ def test_boundary_siso_splices_exactly():
     Le = jnp.concatenate([LeA, LeB], axis=1)[:, :K]
     np.testing.assert_allclose(np.asarray(Le), np.asarray(Le_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_linlog_close_to_logmap():
+    """Linear-log-MAP stays much closer to log-MAP than max-log does."""
+    ls, lp, la = _inputs(104, 2, seed=11)
+    _, Le_log = siso_decode_scan(ls, lp, la, mode="logmap")
+    _, Le_lin = siso_decode_scan(ls, lp, la, mode="linlog")
+    _, Le_max = siso_decode_scan(ls, lp, la, mode="maxlog")
+    import numpy as _np
+    dlin = _np.abs(_np.asarray(Le_lin) - _np.asarray(Le_log)).mean()
+    dmax = _np.abs(_np.asarray(Le_max) - _np.asarray(Le_log)).mean()
+    assert dlin < dmax / 2
+    # Pallas kernel agrees with the scan reference in linlog mode too.
+    _, Le_p = siso_decode_pallas(ls, lp, la, mode="linlog")
+    _np.testing.assert_allclose(_np.asarray(Le_p), _np.asarray(Le_lin),
+                                rtol=1e-4, atol=1e-4)

@@ -29,7 +29,7 @@ def main(argv=None):
     ber.add_argument("--k", type=int, default=1024)
     ber.add_argument("--batch", type=int, default=32)
     ber.add_argument("--iters", type=int, default=8)
-    ber.add_argument("--mode", choices=["logmap", "maxlog"], default="logmap")
+    ber.add_argument("--mode", choices=["logmap", "maxlog", "linlog"], default="logmap")
     ber.add_argument("--interleaver", choices=["lte", "umts"], default="lte")
     ber.add_argument("--early-term", choices=["none", "crc", "sign"],
                      default="none")
@@ -50,7 +50,7 @@ def main(argv=None):
     bench.add_argument("--k", type=int, default=6144)
     bench.add_argument("--batch", type=int, default=64)
     bench.add_argument("--iters", type=int, default=6)
-    bench.add_argument("--mode", choices=["logmap", "maxlog"], default="maxlog")
+    bench.add_argument("--mode", choices=["logmap", "maxlog", "linlog"], default="maxlog")
     bench.add_argument("--siso", default="scan")
     bench.add_argument("--window", type=int, default=0)
     bench.add_argument("--reps", type=int, default=10)

@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..spec.trellis import TRELLIS
-from .maxstar import LOGMAP, MAXLOG
+from .maxstar import LINLOG, LOGMAP, MAXLOG, _LIN_C0, _LIN_C1
 
 BIG = 1e9
 CELL = 1024          # codewords per grid cell: 8 sublanes x 128 lanes
@@ -58,6 +58,8 @@ def _mstar(a, b, mode):
     m = jnp.maximum(a, b)
     if mode == MAXLOG:
         return m
+    if mode == LINLOG:
+        return m + jnp.maximum(0.0, _LIN_C0 - _LIN_C1 * jnp.abs(a - b))
     return m + jnp.log1p(jnp.exp(-jnp.abs(a - b)))
 
 
