@@ -38,12 +38,13 @@ def _batch(K, B, seed=0, ebn0_db=1.5, with_crc=False):
     return bits, noisy
 
 
+@pytest.mark.parametrize("siso", ["scan", "pallas"])
 @pytest.mark.parametrize("data,seq", [(2, 4), (1, 8)])
-def test_seq_sharded_decodes(data, seq):
+def test_seq_sharded_decodes(data, seq, siso):
     mesh = make_mesh(data=data, seq=seq)
     K, B = 320, 2 * data
     bits, noisy = _batch(K, B, ebn0_db=2.0)
-    cfg = DecoderConfig(K=K, n_iters=6)
+    cfg = DecoderConfig(K=K, n_iters=6, siso=siso)
     dec = decode_seq_sharded(mesh, cfg)
     spec = NamedSharding(mesh, P(("data",), None))
     args = [jax.device_put(x, spec) for x in noisy]
@@ -57,6 +58,22 @@ def test_seq_sharded_close_to_monolithic():
     K, B = 512, 2
     bits, noisy = _batch(K, B, seed=3, ebn0_db=1.2)
     cfg = DecoderConfig(K=K, n_iters=8)
+    dec = decode_seq_sharded(mesh, cfg)
+    spec = NamedSharding(mesh, P(("data",), None))
+    hard_s, _, L_s = dec(*[jax.device_put(x, spec) for x in noisy])
+    hard_m, _, L_m = turbo_decode(*noisy, cfg)
+    # NII is approximate; require near-total hard agreement at this SNR.
+    assert (np.asarray(hard_s) == np.asarray(hard_m)).mean() > 0.99
+
+
+def test_seq1_pallas_matches_monolithic_exactly():
+    """With one 'seq' shard the Pallas chunk path IS the monolithic kernel:
+    boundaries are the terminated-codeword e0 and the chunk covers the whole
+    trellis, so LLRs must agree to float tolerance."""
+    mesh = make_mesh(data=8, seq=1)
+    K, B = 320, 8
+    bits, noisy = _batch(K, B, seed=3, ebn0_db=1.2)
+    cfg = DecoderConfig(K=K, n_iters=4, siso="pallas")
     dec = decode_seq_sharded(mesh, cfg)
     spec = NamedSharding(mesh, P(("data",), None))
     hard_s, _, L_s = dec(*[jax.device_put(x, spec) for x in noisy])

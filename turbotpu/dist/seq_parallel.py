@@ -40,7 +40,15 @@ def decode_seq_sharded(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
 
     Returns fn(ls, lp1, lp2, tail1, tail2) -> (hard, iters, L), with the
     batch axis sharded over 'data' and the SISO recursions split over 'seq'.
+    `cfg.siso == "pallas"` selects the fused-kernel chunk path (the
+    performance path on TPU); anything else uses the lax.scan chunk SISO.
     """
+    if cfg.siso == "pallas":
+        return _decode_seq_sharded_cells(mesh, cfg)
+    return _decode_seq_sharded_scan(mesh, cfg)
+
+
+def _decode_seq_sharded_scan(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
     n_seq = mesh.shape["seq"]
     K = cfg.K
     KT = K + 3
@@ -145,5 +153,144 @@ def decode_seq_sharded(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
         out = jax.lax.while_loop(cond, body, init)
         (_, _, _, _, _, _, L, hard, done, iters) = out
         return hard, iters, L
+
+    return decode
+
+
+def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
+    """Seq-parallel decode with the fused Pallas SISO kernel per chunk.
+
+    Each 'seq' shard runs the fused gamma/alpha/beta/LLR window kernel
+    (siso/pallas_kernel.py, boundary mode) over its trellis chunk, keeping
+    every per-iteration tensor in the kernel's native (cells, T, 8, 128)
+    layout; NII boundary alpha/beta metrics ride `lax.ppermute` to the
+    neighbor shard each half-iteration exactly as in the scan path.  This
+    is the single-kernel-per-chunk scale-out named as the planned step in
+    RESULTS.md C5: the chunk recursion runs at kernel speed instead of
+    lax.scan speed.
+    """
+    from ..siso.pallas_kernel import (BIG as PBIG, CELL, from_cells,
+                                      siso_cells, to_cells)
+
+    n_seq = mesh.shape["seq"]
+    K = cfg.K
+    KT = K + 3
+    # Chunk length: a multiple of the kernel's window (128 for big chunks,
+    # UNROLL=8 for single-window small chunks).  Pad steps carry the
+    # known-0-bit metrics, so padded chunks are bit-exact at real positions.
+    c0 = -(-KT // n_seq)
+    C = _round_up(c0, 8) if c0 <= 248 else _round_up(c0, 128)
+    KTp = C * n_seq
+    perm = np.asarray(cfg.perm())
+    ext = np.arange(K, KTp, dtype=np.int32)
+    perm_e = jnp.asarray(np.concatenate([perm.astype(np.int32), ext]))
+    inv_e = jnp.asarray(
+        np.concatenate([np.asarray(cfg.inv()).astype(np.int32), ext]))
+    scale = cfg.ext_scale if cfg.ext_scale else (0.75 if cfg.mode == "maxlog" else 1.0)
+    if cfg.early_term == "crc":
+        from ..decoder.early_term import _crc_check_matrix_np
+        G_np = _crc_check_matrix_np(K, cfg.crc_poly)
+    else:
+        G_np = None
+
+    fwd = [(i, (i + 1) % n_seq) for i in range(n_seq)]
+    bwd = [((i + 1) % n_seq, i) for i in range(n_seq)]
+    spec_b = P(("data",), None)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(spec_b,) * 5,
+        out_specs=(spec_b, P(("data",)), spec_b), check_vma=False)
+    def decode(ls, lp1, lp2, t1, t2):
+        B = ls.shape[0]
+        j = jax.lax.axis_index("seq")
+        Bp = _round_up(B, CELL)
+        padb = lambda x: jnp.pad(x.astype(jnp.float32), ((0, Bp - B), (0, 0)))
+
+        def stream(body_, tail, pad_val):
+            full = jnp.concatenate([body_, tail], axis=1)
+            full = jnp.pad(full, ((0, 0), (0, KTp - KT)),
+                           constant_values=pad_val)
+            return to_cells(padb(full))
+
+        ls1_c = stream(ls, t1[:, 0::2], PBIG)
+        lp1_c = stream(lp1, t1[:, 1::2], 0.0)
+        ls2_c = stream(ls[:, perm], t2[:, 0::2], PBIG)
+        lp2_c = stream(lp2, t2[:, 1::2], 0.0)
+        n_cells = ls1_c.shape[0]
+
+        # A-priori rows beyond K must be zero (the chunk kernel cannot mask
+        # by global position -- K_real is per-chunk), so extrinsics are
+        # masked after every all_gather instead of inside the kernel.
+        mask = (jnp.arange(KTp) < K).astype(jnp.float32)[None, :, None, None]
+        e0 = jnp.concatenate(
+            [jnp.zeros((n_cells, 1, 8, 128), jnp.float32),
+             jnp.full((n_cells, 7, 8, 128), -PBIG, jnp.float32)], axis=1)
+        uni = jnp.zeros((n_cells, 8, 8, 128), jnp.float32)
+        G = jnp.asarray(G_np) if G_np is not None else None
+
+        def chunk(x):
+            return jax.lax.dynamic_slice_in_dim(x, j * C, C, 1)
+
+        def siso_chunk(ls_c, lp_c, la_full, a_in, b_in):
+            a0 = jnp.where(j == 0, e0, a_in)
+            bT = jnp.where(j == n_seq - 1, e0, b_in)
+            le_c, a_out, b_out = siso_cells(
+                chunk(ls_c), chunk(lp_c), chunk(la_full), C, cfg.mode,
+                boundaries=(a0, bT))
+            le_full = jax.lax.all_gather(le_c, "seq", axis=1, tiled=True)
+            return le_full * mask, a_out, b_out
+
+        def exchange(a_out, b_out):
+            return (jax.lax.ppermute(a_out, "seq", fwd),
+                    jax.lax.ppermute(b_out, "seq", bwd))
+
+        def cond(carry):
+            (it, le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters) = carry
+            return (it < cfg.n_iters) & ~jnp.all(done)
+
+        def body(carry):
+            (it, le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters) = carry
+            le1, a1o, b1o = siso_chunk(ls1_c, lp1_c, le21, a1, b1)
+            le1 = le1 * scale
+            le2, a2o, b2o = siso_chunk(ls2_c, lp2_c, le1[:, perm_e], a2, b2)
+            le21_new = (le2 * scale)[:, inv_e]
+            L_new = ls1_c[:, :K] + le1[:, :K] + le21_new[:, :K]
+            hard_new = (L_new < 0).astype(jnp.int8)
+            a1n, b1n = exchange(a1o, b1o)
+            a2n, b2n = exchange(a2o, b2o)
+
+            if cfg.early_term == "crc":
+                synd = jax.lax.dot_general(
+                    hard_new.astype(jnp.float32), G,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                newly_done = jnp.all(synd % 2.0 == 0.0, axis=-1)
+            elif cfg.early_term == "sign":
+                newly_done = jnp.all(hard_new == hard_prev, axis=1)
+            else:
+                newly_done = jnp.zeros((n_cells, 8, 128), bool)
+            keep = done[:, None]
+            le21 = jnp.where(keep, le21, le21_new)
+            L = jnp.where(keep, L_prev, L_new)
+            hard = jnp.where(keep, hard_prev, hard_new)
+            iters = iters + (~done).astype(jnp.int32)
+            done = done | newly_done
+            return (it + 1, le21, a1n, b1n, a2n, b2n, L, hard, done, iters)
+
+        init = (jnp.int32(0),
+                jnp.zeros((n_cells, KTp, 8, 128), jnp.float32),
+                uni, uni, uni, uni,
+                jnp.zeros((n_cells, K, 8, 128), jnp.float32),
+                jnp.zeros((n_cells, K, 8, 128), jnp.int8),
+                jnp.zeros((n_cells, 8, 128), bool),
+                jnp.zeros((n_cells, 8, 128), jnp.int32))
+        out = jax.lax.while_loop(cond, body, init)
+        (_, _, _, _, _, _, L, hard, done, iters) = out
+        hard_b = from_cells(hard)[:B]
+        L_b = from_cells(L)[:B]
+        iters_b = iters.reshape(n_cells * CELL)[:B]
+        return hard_b, iters_b, L_b
 
     return decode
