@@ -92,3 +92,23 @@ def test_seq_sharded_crc_early_term():
     hard, iters, _ = dec(*[jax.device_put(x, spec) for x in noisy])
     assert (np.asarray(hard) == bits).all()
     assert (np.asarray(iters) < 8).all()
+
+
+@pytest.mark.parametrize("siso", ["scan", "pallas"])
+def test_divergent_early_exit_across_data_shards(siso):
+    """Regression: when 'data' shards converge at different iterations, the
+    while_loop trip count must still agree everywhere (the exit flag is a
+    global psum), or each row's seq collectives desync -- XLA:CPU aborted
+    with a collective-permute rendezvous deadlock before the fix."""
+    mesh = make_mesh(data=2, seq=4)
+    K = 104
+    _, clean = _batch(K, 2, seed=1, ebn0_db=9.0, with_crc=True)
+    _, dirty = _batch(K, 2, seed=2, ebn0_db=0.5, with_crc=True)
+    noisy = [jnp.concatenate([a, b]) for a, b in zip(clean, dirty)]
+    cfg = DecoderConfig(K=K, n_iters=8, early_term="crc", siso=siso)
+    dec = decode_seq_sharded(mesh, cfg)
+    spec = NamedSharding(mesh, P(("data",), None))
+    hard, iters, _ = dec(*[jax.device_put(x, spec) for x in noisy])
+    iters = np.asarray(iters)
+    assert iters[:2].max() <= 2  # the clean shard's CRC passes immediately
+    assert hard.shape == (4, K)

@@ -74,6 +74,8 @@ def main(argv=None):
     c5.add_argument("--iters", type=int, default=6)
     c5.add_argument("--data", type=int, default=None)
     c5.add_argument("--seq", type=int, default=2)
+    c5.add_argument("--siso", default="pallas",
+                    help="chunk SISO: pallas (fused kernel) or scan")
 
     args = ap.parse_args(argv)
 
@@ -136,7 +138,7 @@ def main(argv=None):
         from turbotpu.harness.c5 import run_c5
         rec = run_c5(K=args.k, B=args.batch, ebn0_db=args.ebn0,
                      n_iters=args.iters, data=args.data, seq=args.seq,
-                     verbose=False)
+                     siso=args.siso, verbose=False)
         print(json.dumps(rec))
         return 0
 

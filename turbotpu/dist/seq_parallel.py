@@ -115,11 +115,13 @@ def _decode_seq_sharded_scan(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             return a_in, b_in
 
         def cond(carry):
-            (it, le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters) = carry
-            return (it < cfg.n_iters) & ~jnp.all(done)
+            (it, le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters,
+             undone_g) = carry
+            return (it < cfg.n_iters) & (undone_g > 0)
 
         def body(carry):
-            (it, le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters) = carry
+            (it, le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters,
+             _) = carry
             le1_c, a1o, b1o = siso_chunk(ls1, lp1f, le21, a1, b1, j)
             le1 = gather_le(le1_c) * scale
             le2_c, a2o, b2o = siso_chunk(ls2, lp2f, le1[:, perm], a2, b2, j)
@@ -142,16 +144,24 @@ def _decode_seq_sharded_scan(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             hard = jnp.where(keep, hard_prev, hard_new)
             iters = iters + (~done).astype(jnp.int32)
             done = done | newly_done
-            return (it + 1, le21, a1n, b1n, a2n, b2n, L, hard, done, iters)
+            # Early exit must be GLOBAL: 'seq' shards agree by construction
+            # (they compute identical full-batch decisions), but 'data'
+            # shards hold different codewords, and a shard that exits the
+            # while_loop early stops feeding its row's collectives -- the
+            # XLA:CPU in-process communicator then deadlocks (and trip
+            # counts must match on any backend for safety).  One scalar
+            # psum per iteration buys lockstep exit.
+            undone_g = jax.lax.psum(
+                jnp.sum((~done).astype(jnp.int32)), "data")
+            return (it + 1, le21, a1n, b1n, a2n, b2n, L, hard, done, iters,
+                    undone_g)
 
         init = (jnp.int32(0), jnp.zeros((B, K), ls.dtype), uni, uni, uni, uni,
                 jnp.zeros((B, K), ls.dtype), jnp.zeros((B, K), jnp.int8),
-                jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32))
-        # while_loop: no unrolling, plus whole-batch early exit; the CRC
-        # early-term decision is replicated across 'seq' shards, so every
-        # shard takes the same trip count and ppermutes stay matched.
+                jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32),
+                jnp.int32(1))
         out = jax.lax.while_loop(cond, body, init)
-        (_, _, _, _, _, _, L, hard, done, iters) = out
+        (_, _, _, _, _, _, L, hard, done, iters, _) = out
         return hard, iters, L
 
     return decode
@@ -220,10 +230,6 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
         lp2_c = stream(lp2, t2[:, 1::2], 0.0)
         n_cells = ls1_c.shape[0]
 
-        # A-priori rows beyond K must be zero (the chunk kernel cannot mask
-        # by global position -- K_real is per-chunk), so extrinsics are
-        # masked after every all_gather instead of inside the kernel.
-        mask = (jnp.arange(KTp) < K).astype(jnp.float32)[None, :, None, None]
         e0 = jnp.concatenate(
             [jnp.zeros((n_cells, 1, 8, 128), jnp.float32),
              jnp.full((n_cells, 7, 8, 128), -PBIG, jnp.float32)], axis=1)
@@ -237,26 +243,36 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             a0 = jnp.where(j == 0, e0, a_in)
             bT = jnp.where(j == n_seq - 1, e0, b_in)
             le_c, a_out, b_out = siso_cells(
-                chunk(ls_c), chunk(lp_c), chunk(la_full), C, cfg.mode,
+                chunk(ls_c), chunk(lp_c), chunk(la_full), C, cfg.mode, scale,
                 boundaries=(a0, bT))
             le_full = jax.lax.all_gather(le_c, "seq", axis=1, tiled=True)
-            return le_full * mask, a_out, b_out
+            # A-priori rows beyond K must be zero before the next SISO: the
+            # chunk kernel cannot mask by global position (K_real is
+            # per-chunk), and pad-step extrinsics are +-BIG garbage.  Zero
+            # just the KTp-K tail rows rather than a full-tensor multiply.
+            le_full = jax.lax.dynamic_update_slice_in_dim(
+                le_full, jnp.zeros((n_cells, KTp - K, 8, 128), jnp.float32),
+                K, 1)
+            return le_full, a_out, b_out
 
         def exchange(a_out, b_out):
             return (jax.lax.ppermute(a_out, "seq", fwd),
                     jax.lax.ppermute(b_out, "seq", bwd))
 
         def cond(carry):
-            (it, le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters) = carry
-            return (it < cfg.n_iters) & ~jnp.all(done)
+            (it, le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters,
+             undone_g) = carry
+            return (it < cfg.n_iters) & (undone_g > 0)
 
         def body(carry):
-            (it, le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters) = carry
+            (it, le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters,
+             _) = carry
+            # Extrinsics stay unscaled; the kernel applies `scale` to its
+            # a-priori input, exactly as in decoder/turbo_cells.py.
             le1, a1o, b1o = siso_chunk(ls1_c, lp1_c, le21, a1, b1)
-            le1 = le1 * scale
             le2, a2o, b2o = siso_chunk(ls2_c, lp2_c, le1[:, perm_e], a2, b2)
-            le21_new = (le2 * scale)[:, inv_e]
-            L_new = ls1_c[:, :K] + le1[:, :K] + le21_new[:, :K]
+            le21_new = le2[:, inv_e]
+            L_new = ls1_c[:, :K] + scale * (le1[:, :K] + le21_new[:, :K])
             hard_new = (L_new < 0).astype(jnp.int8)
             a1n, b1n = exchange(a1o, b1o)
             a2n, b2n = exchange(a2o, b2o)
@@ -277,7 +293,13 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             hard = jnp.where(keep, hard_prev, hard_new)
             iters = iters + (~done).astype(jnp.int32)
             done = done | newly_done
-            return (it + 1, le21, a1n, b1n, a2n, b2n, L, hard, done, iters)
+            # Global early-exit flag: see _decode_seq_sharded_scan -- 'data'
+            # shards must take identical trip counts or their rows'
+            # collectives desync (XLA:CPU deadlocks outright).
+            undone_g = jax.lax.psum(
+                jnp.sum((~done).astype(jnp.int32)), "data")
+            return (it + 1, le21, a1n, b1n, a2n, b2n, L, hard, done, iters,
+                    undone_g)
 
         init = (jnp.int32(0),
                 jnp.zeros((n_cells, KTp, 8, 128), jnp.float32),
@@ -285,9 +307,10 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
                 jnp.zeros((n_cells, K, 8, 128), jnp.float32),
                 jnp.zeros((n_cells, K, 8, 128), jnp.int8),
                 jnp.zeros((n_cells, 8, 128), bool),
-                jnp.zeros((n_cells, 8, 128), jnp.int32))
+                jnp.zeros((n_cells, 8, 128), jnp.int32),
+                jnp.int32(1))
         out = jax.lax.while_loop(cond, body, init)
-        (_, _, _, _, _, _, L, hard, done, iters) = out
+        (_, _, _, _, _, _, L, hard, done, iters, _) = out
         hard_b = from_cells(hard)[:B]
         L_b = from_cells(L)[:B]
         iters_b = iters.reshape(n_cells * CELL)[:B]

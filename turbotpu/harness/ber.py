@@ -152,8 +152,17 @@ def simulate_ber(cfg: SimConfig, results_path: str | pathlib.Path | None = None,
     done: dict[float, dict] = {}
     path = pathlib.Path(results_path) if results_path else None
     if path and path.exists() and resume:
-        for line in path.read_text().splitlines():
-            rec = json.loads(line)
+        text = path.read_text()
+        if text and not text.endswith("\n"):
+            # Terminate a record torn by a killed writer so appended
+            # records land on their own line.
+            with path.open("a") as f:
+                f.write("\n")
+        for line in text.splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # torn trailing line from a killed writer
             if rec.get("config") == cfg.name:
                 done[rec["ebn0_db"]] = rec
     step = make_step(cfg)

@@ -55,7 +55,8 @@ def make_batch(K: int, B: int, ebn0_db: float, seed: int, interleaver="lte",
 
 def run_c5(K: int = 6144, B: int = 4096, ebn0_db: float = 0.8,
            n_iters: int = 6, data: int | None = None, seq: int = 2,
-           n_timed: int = 4, seed: int = 0, verbose: bool = True) -> dict:
+           n_timed: int = 4, seed: int = 0, verbose: bool = True,
+           siso: str = "pallas") -> dict:
     multi = init_distributed()
     n_dev = len(jax.devices())
     if data is None:
@@ -65,7 +66,7 @@ def run_c5(K: int = 6144, B: int = 4096, ebn0_db: float = 0.8,
         data = n_dev
     mesh = make_mesh(data=data, seq=seq)
     cfg = DecoderConfig(K=K, n_iters=n_iters, mode="maxlog", ext_scale=0.75,
-                        early_term="crc")
+                        early_term="crc", siso=siso)
     decode = decode_seq_sharded(mesh, cfg)
     count = count_errors_sharded(mesh)
 
@@ -80,14 +81,26 @@ def run_c5(K: int = 6144, B: int = 4096, ebn0_db: float = 0.8,
 
     floor = measure_roundtrip()
 
-    def once():
-        hard, iters, L = decode(*args)
-        b, f = count(hard, ref)
-        return int(b) + int(f)
+    # Chain the timed decodes on device into ONE scalar fetch (the axon
+    # tunnel costs ~38 ms per individual fetch -- see bench.bench_decode);
+    # each decode's output feeds the next input so no rep can be elided.
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def run(noisy, ref, reps: int):
+        def body(i, carry):
+            a, acc = carry
+            hard, _, L = decode(*a)
+            b, f = count(hard, ref)
+            s = (b + f).astype(jnp.float32) + L[0, 0].astype(jnp.float32) * 0.0
+            return (a[0] + s * 0.0,) + a[1:], acc + s
+        _, acc = jax.lax.fori_loop(0, reps, body,
+                                   (tuple(noisy), jnp.float32(0)))
+        return acc
 
-    once()
-    wall = min(_timed(once) for _ in range(n_timed))
-    wall = max(wall - floor, 1e-9)
+    reps = max(n_timed, 1)
+    float(run(tuple(args), ref, reps))  # warm with the same static rep count
+    wall = min(_timed(lambda: float(run(tuple(args), ref, reps)))
+               for _ in range(3))
+    wall = max(wall - floor, 1e-9) / reps
     rec = {
         "K": K, "B": B, "mesh": {"data": data, "seq": seq},
         "processes": jax.process_count(), "devices": n_dev,
