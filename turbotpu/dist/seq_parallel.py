@@ -174,10 +174,10 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
     (siso/pallas_kernel.py, boundary mode) over its trellis chunk, keeping
     every per-iteration tensor in the kernel's native (cells, T, 8, 128)
     layout; NII boundary alpha/beta metrics ride `lax.ppermute` to the
-    neighbor shard each half-iteration exactly as in the scan path.  This
-    is the single-kernel-per-chunk scale-out named as the planned step in
-    RESULTS.md C5: the chunk recursion runs at kernel speed instead of
-    lax.scan speed.
+    neighbor shard each half-iteration exactly as in the scan path.  The
+    chunk recursion runs at kernel speed instead of lax.scan speed:
+    1.56 Gbit/s/chip at a 1x1 mesh (RESULTS.md C5), parity with the
+    monolithic kernel path.
     """
     from ..siso.pallas_kernel import (BIG as PBIG, CELL, from_cells,
                                       siso_cells, to_cells)
