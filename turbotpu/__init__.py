@@ -9,7 +9,8 @@ from .decoder.turbo import DecoderConfig, turbo_decode
 
 __version__ = "0.1.0"
 __all__ = ["DecoderConfig", "turbo_decode", "SimConfig", "simulate_ber",
-           "__version__"]
+           "encode_transport_block", "transmit_transport_block",
+           "decode_transport_block", "__version__"]
 
 
 def __getattr__(name):
@@ -17,4 +18,8 @@ def __getattr__(name):
     if name in ("SimConfig", "simulate_ber"):
         from .harness import ber
         return getattr(ber, name)
+    if name in ("encode_transport_block", "transmit_transport_block",
+                "decode_transport_block"):
+        from . import transport
+        return getattr(transport, name)
     raise AttributeError(name)

@@ -1,0 +1,113 @@
+"""Transport-block pipeline (TS 36.212 section 5.1): the full LTE framing
+chain over the decoder.
+
+Transmit: CRC-24A attach -> code block segmentation (CRC-24B per block,
+filler bits in block 0) -> per-block turbo encoding.  Receive: per-block
+decode with blocks GROUPED BY K so each distinct block size is a single
+batched device decode (at most two sizes exist per TS 36.212, K- and K+),
+CRC-24B check per block, filler stripping, reassembly, CRC-24A check.
+
+Filler bits are known zeros at the receiver, so their systematic LLRs are
+overwritten with +BIG before decoding (the known-0-bit trick; in rate-
+matched LTE they would be punctured at the transmitter instead).
+
+SURVEY.md section 1 item 6 and section 3 component 5: segmentation as a
+first-class capability, integrated end-to-end rather than a spec-layer
+helper only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .decoder.turbo import DecoderConfig, turbo_decode
+from .golden import numpy_ref as npr
+from .spec.crc import CRC24A_POLY, CRC24B_POLY, CRC_LEN, crc_attach, crc_check
+from .spec.qpp import qpp_perm
+from .spec.segmentation import Segmentation, desegment, segment, segment_params
+
+BIG = 1e9
+
+
+def encode_transport_block(info_bits: np.ndarray):
+    """CRC-24A attach, segment, turbo-encode each code block.
+
+    Returns (blocks, seg): `blocks` is a list of per-block encoded parts
+    (sys, par1, par2, tail1, tail2) as int8 arrays; `seg` the Segmentation
+    (seg.B is the CRC-attached length needed at the receiver).
+    """
+    tb = crc_attach(np.asarray(info_bits, np.int8), CRC24A_POLY)
+    seg = segment_params(len(tb))
+    blocks = [npr.turbo_encode(blk, qpp_perm(len(blk))) for blk in segment(tb)]
+    return blocks, seg
+
+
+def transmit_transport_block(info_bits: np.ndarray, ebn0_db: float,
+                             seed: int = 0):
+    """encode_transport_block + BPSK + AWGN + LLR demap (rate 1/3).
+
+    Returns (llr_blocks, seg) with llr_blocks[r] = per-block float32 LLR
+    parts in the same (sys, par1, par2, tail1, tail2) layout.
+    """
+    blocks, seg = encode_transport_block(info_bits)
+    rng = np.random.default_rng(seed)
+    sigma = np.sqrt(1 / (2 * 10 ** (ebn0_db / 10) / 3))
+    llr_blocks = []
+    for parts in blocks:
+        llrs = []
+        for a in parts:
+            y = (1 - 2 * a.astype(np.float64)) + sigma * rng.normal(size=a.shape)
+            llrs.append((2 * y / sigma ** 2).astype(np.float32))
+        llr_blocks.append(tuple(llrs))
+    return llr_blocks, seg
+
+
+def decode_transport_block(llr_blocks, B: int, n_iters: int = 6,
+                           mode: str = "logmap", siso: str = "scan",
+                           ext_scale: float | None = None):
+    """Decode a transport block from per-code-block LLRs.
+
+    llr_blocks: list (block order) of (sys, par1, par2, tail1, tail2) LLR
+    arrays; B: CRC-attached transport block length (seg.B from the
+    transmit side).  Returns (info_bits, crc_ok, details) where details
+    carries per-block CRC-24B results and iteration counts.
+    """
+    seg = segment_params(B)
+    assert len(llr_blocks) == seg.C, (len(llr_blocks), seg.C)
+    llr_blocks = [tuple(np.asarray(p, np.float32) for p in blk)
+                  for blk in llr_blocks]
+    if seg.F:
+        # Filler bits live at the head of block 0 and are known zeros.
+        ls0 = llr_blocks[0][0].copy()
+        ls0[:seg.F] = BIG
+        llr_blocks[0] = (ls0,) + llr_blocks[0][1:]
+
+    scale = ext_scale if ext_scale is not None else (
+        0.75 if mode == "maxlog" else 1.0)
+    hard_blocks: list[np.ndarray | None] = [None] * seg.C
+    iters_out = np.zeros(seg.C, np.int32)
+    # One batched decode per distinct K (TS 36.212 yields at most two).
+    for K in sorted({b[0].shape[0] for b in llr_blocks}):
+        idxs = [r for r, b in enumerate(llr_blocks) if b[0].shape[0] == K]
+        batch = [jnp.asarray(np.stack([llr_blocks[r][i] for r in idxs]))
+                 for i in range(5)]
+        cfg = DecoderConfig(
+            K=K, n_iters=n_iters, mode=mode, ext_scale=scale, siso=siso,
+            early_term="crc" if seg.C > 1 else "none",
+            crc_poly=CRC24B_POLY)
+        hard, iters, _ = turbo_decode(*batch, cfg)
+        hard = np.asarray(hard, np.int8)
+        for j, r in enumerate(idxs):
+            hard_blocks[r] = hard[j]
+            iters_out[r] = int(iters[j])
+
+    block_crc_ok = [bool(crc_check(h, CRC24B_POLY)) if seg.C > 1 else True
+                    for h in hard_blocks]
+    tb = desegment(hard_blocks, B)
+    crc_ok = bool(crc_check(tb, CRC24A_POLY))
+    info = tb[:-CRC_LEN]
+    return info, crc_ok, {
+        "seg": seg, "block_crc_ok": block_crc_ok, "iters": iters_out,
+    }
