@@ -58,6 +58,44 @@ def test_crc_detects_garbage():
     assert not all(d["block_crc_ok"])
 
 
+def test_per_block_e_allocation():
+    from turbotpu.transport import per_block_e
+    es = per_block_e(10000, 3)
+    assert sum(es) == 10000
+    assert es == (3333, 3333, 3334)
+    assert per_block_e(9999, 3) == (3333, 3333, 3333)
+
+
+def test_rate_matched_puncturing_roundtrip():
+    """Multi-block TB punctured to ~rate 1/2 end to end."""
+    rng = np.random.default_rng(10)
+    A = 13000
+    info = rng.integers(0, 2, A).astype(np.int8)
+    seg = segment_params(A + CRC_LEN)
+    G = 2 * seg.B
+    llr_blocks, seg = transmit_transport_block(info, ebn0_db=2.2, seed=11,
+                                               G=G, rv=0)
+    assert all(np.ndim(b) == 1 for b in llr_blocks)
+    assert sum(len(b) for b in llr_blocks) == G
+    out, crc_ok, d = decode_transport_block(llr_blocks, seg.B, n_iters=8,
+                                            rate_matched=True, rv=0)
+    assert crc_ok and (out == info).all()
+
+
+def test_rate_matched_repetition_roundtrip():
+    """Repetition (E_r > 3K+12) combines LLRs; decodes at low SNR."""
+    rng = np.random.default_rng(12)
+    A = 13000
+    info = rng.integers(0, 2, A).astype(np.int8)
+    seg = segment_params(A + CRC_LEN)
+    G = 4 * seg.B
+    llr_blocks, seg = transmit_transport_block(info, ebn0_db=1.0, seed=13,
+                                               G=G, rv=0)
+    out, crc_ok, d = decode_transport_block(llr_blocks, seg.B, n_iters=8,
+                                            rate_matched=True, rv=0)
+    assert crc_ok and (out == info).all()
+
+
 def test_encode_block_sizes_legal():
     blocks, seg = encode_transport_block(
         np.zeros(20000, np.int8))

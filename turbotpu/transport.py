@@ -26,9 +26,20 @@ from .decoder.turbo import DecoderConfig, turbo_decode
 from .golden import numpy_ref as npr
 from .spec.crc import CRC24A_POLY, CRC24B_POLY, CRC_LEN, crc_attach, crc_check
 from .spec.qpp import qpp_perm
+from .spec.rate_match import de_rate_match, rate_match
 from .spec.segmentation import Segmentation, desegment, segment, segment_params
 
 BIG = 1e9
+
+
+def per_block_e(G: int, C: int, q_m: int = 1, n_l: int = 1) -> tuple[int, ...]:
+    """TS 36.212 section 5.1.4.1.2: split G available bits across C code
+    blocks (first C-1-gamma blocks get floor, the rest ceil)."""
+    gp = G // (n_l * q_m)
+    gamma = gp % C
+    lo = n_l * q_m * (gp // C)
+    hi = n_l * q_m * (-(-gp // C))
+    return tuple(lo if r <= C - 1 - gamma else hi for r in range(C))
 
 
 def encode_transport_block(info_bits: np.ndarray):
@@ -45,37 +56,61 @@ def encode_transport_block(info_bits: np.ndarray):
 
 
 def transmit_transport_block(info_bits: np.ndarray, ebn0_db: float,
-                             seed: int = 0):
-    """encode_transport_block + BPSK + AWGN + LLR demap (rate 1/3).
+                             seed: int = 0, G: int | None = None,
+                             rv: int = 0):
+    """encode_transport_block + BPSK + AWGN + LLR demap.
 
-    Returns (llr_blocks, seg) with llr_blocks[r] = per-block float32 LLR
-    parts in the same (sys, par1, par2, tail1, tail2) layout.
+    With G=None (no rate matching, rate 1/3) returns (llr_blocks, seg)
+    with llr_blocks[r] = per-block float32 LLR parts in the
+    (sys, par1, par2, tail1, tail2) layout.  With G set, each block is
+    rate-matched to its TS 36.212 share E_r of the G available bits
+    (puncturing when E_r < 3K+12, repetition when larger) and
+    llr_blocks[r] is the flat length-E_r received LLR vector; pass
+    rate_matched=True (and the same rv) to decode_transport_block.
     """
     blocks, seg = encode_transport_block(info_bits)
     rng = np.random.default_rng(seed)
-    sigma = np.sqrt(1 / (2 * 10 ** (ebn0_db / 10) / 3))
+    # Es/N0 = rate * Eb/N0 with the TRUE information rate (info bits per
+    # channel bit), so the Eb/N0 label stays honest under rate matching.
+    n_chan = G if G is not None else sum(3 * K + 12 for K in seg.sizes)
+    rate = len(np.asarray(info_bits)) / n_chan
+    sigma = np.sqrt(1 / (2 * rate * 10 ** (ebn0_db / 10)))
+
+    def demap(a):
+        y = (1 - 2 * a.astype(np.float64)) + sigma * rng.normal(size=a.shape)
+        return (2 * y / sigma ** 2).astype(np.float32)
+
     llr_blocks = []
-    for parts in blocks:
-        llrs = []
-        for a in parts:
-            y = (1 - 2 * a.astype(np.float64)) + sigma * rng.normal(size=a.shape)
-            llrs.append((2 * y / sigma ** 2).astype(np.float32))
-        llr_blocks.append(tuple(llrs))
+    if G is None:
+        for parts in blocks:
+            llr_blocks.append(tuple(demap(a) for a in parts))
+    else:
+        for parts, E in zip(blocks, per_block_e(G, seg.C)):
+            e_bits = rate_match(*npr.lte_mux(*parts), E, rv)
+            llr_blocks.append(demap(e_bits))
     return llr_blocks, seg
 
 
 def decode_transport_block(llr_blocks, B: int, n_iters: int = 6,
                            mode: str = "logmap", siso: str = "scan",
-                           ext_scale: float | None = None):
+                           ext_scale: float | None = None,
+                           rate_matched: bool = False, rv: int = 0):
     """Decode a transport block from per-code-block LLRs.
 
     llr_blocks: list (block order) of (sys, par1, par2, tail1, tail2) LLR
-    arrays; B: CRC-attached transport block length (seg.B from the
-    transmit side).  Returns (info_bits, crc_ok, details) where details
-    carries per-block CRC-24B results and iteration counts.
+    arrays — or, with rate_matched=True, of flat length-E_r LLR vectors
+    that are first de-rate-matched (repetition LLRs combine, punctured
+    positions start at 0).  B: CRC-attached transport block length (seg.B
+    from the transmit side).  Returns (info_bits, crc_ok, details) where
+    details carries per-block CRC-24B results and iteration counts.
     """
     seg = segment_params(B)
     assert len(llr_blocks) == seg.C, (len(llr_blocks), seg.C)
+    if rate_matched:
+        llr_blocks = [
+            npr.lte_demux(*de_rate_match(
+                np.asarray(llr_e, np.float64), seg.sizes[r], rv))
+            for r, llr_e in enumerate(llr_blocks)]
     llr_blocks = [tuple(np.asarray(p, np.float32) for p in blk)
                   for blk in llr_blocks]
     if seg.F:
