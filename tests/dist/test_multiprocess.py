@@ -41,6 +41,21 @@ count = count_errors_sharded(mesh)
 ref = make_global_array(np.zeros((Bl, K), np.int8), mesh)
 bit, frame = count(hard, ref)
 print("RESULT", proc_id, int(bit), int(frame), flush=True)
+
+# Seq-parallel on a 2x4 mesh over both processes: each process holds one
+# 'data' row (its seq ppermutes stay local), and the per-iteration global
+# early-exit psum over 'data' crosses the process boundary -- the
+# multi-host analog of the lockstep-exit rule in dist/seq_parallel.py.
+from turbotpu.dist.seq_parallel import decode_seq_sharded
+mesh2 = make_mesh(data=2, seq=4)
+dec2 = decode_seq_sharded(mesh2, DecoderConfig(K=K, n_iters=2,
+                                               early_term="crc"))
+args2 = [make_global_array(mk(Bl, K), mesh2) for _ in range(3)]
+tails2 = [make_global_array(mk(Bl, 6), mesh2) for _ in range(2)]
+hard2, iters2, L2 = dec2(*args2, *tails2)
+bit2, frame2 = count_errors_sharded(mesh2)(hard2, make_global_array(
+    np.zeros((Bl, K), np.int8), mesh2))
+print("RESULT2", proc_id, int(bit2), int(frame2), flush=True)
 """
 
 
@@ -58,10 +73,11 @@ def test_two_process_localhost(tmp_path):
     outs = [p.communicate(timeout=300)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
-    results = sorted(line for out in outs for line in out.splitlines()
-                     if line.startswith("RESULT"))
-    assert len(results) == 2
-    # Both processes must observe identical global psum counts.
-    a = results[0].split()[2:]
-    b = results[1].split()[2:]
-    assert a == b
+    for tag in ("RESULT ", "RESULT2 "):
+        results = sorted(line for out in outs for line in out.splitlines()
+                         if line.startswith(tag))
+        assert len(results) == 2, results
+        # Both processes must observe identical global psum counts.
+        a = results[0].split()[2:]
+        b = results[1].split()[2:]
+        assert a == b
