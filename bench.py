@@ -28,8 +28,13 @@ def main():
     last_err = None
     for siso in ("pallas", "scan"):
         try:
+            # bfloat16 LLR I/O on the bandwidth-bound kernel path (+19%
+            # over fp32; BER validated indistinguishable at 0.7 dB --
+            # RESULTS.md).  Metrics stay fp32 in VMEM.
             cfg = DecoderConfig(K=K, n_iters=iters, mode="maxlog",
-                                ext_scale=0.75, siso=siso)
+                                ext_scale=0.75, siso=siso,
+                                io_dtype="bfloat16" if siso == "pallas"
+                                else "float32")
             rec = bench_decode(cfg, B, n_timed=16, n_warmup=1)
             break
         except Exception as e:  # fall back if the Pallas path regresses
@@ -43,7 +48,7 @@ def main():
     per_chip_target = 125.0  # Mbit/s/chip (1 Gbit/s / 8 chips)
     print(json.dumps({
         "metric": f"decoded Mbit/s/chip (K={K}, {iters} iters, max-log-MAP, "
-                  f"batch={B}, siso={rec['siso']})",
+                  f"batch={B}, siso={rec['siso']}, io={cfg.io_dtype})",
         "value": round(rec["mbit_per_s"], 2),
         "unit": "Mbit/s/chip",
         "vs_baseline": round(rec["mbit_per_s"] / per_chip_target, 3),

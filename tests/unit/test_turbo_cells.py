@@ -25,6 +25,26 @@ def test_cells_loop_matches_scan_loop(early):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_cells_loop_bf16_io():
+    """bfloat16 LLR/extrinsic I/O (metrics stay fp32 in the kernel) must
+    agree with the fp32 path on hard decisions and track L closely."""
+    K, B = 320, 4
+    bits, noisy = _encode_noisy(K, B, seed=7, ebn0_db=1.8)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    args = [f32(x) for x in noisy]
+    h32, _, L32 = turbo_decode(*args, DecoderConfig(
+        K=K, n_iters=6, mode="maxlog", ext_scale=0.75, siso="pallas"))
+    h16, _, L16 = turbo_decode(*args, DecoderConfig(
+        K=K, n_iters=6, mode="maxlog", ext_scale=0.75, siso="pallas",
+        io_dtype="bfloat16"))
+    assert L16.dtype == jnp.float32  # outputs stay fp32
+    assert (np.asarray(h16) == bits).all()
+    assert (np.asarray(h16) == np.asarray(h32)).mean() > 0.999
+    # bf16 has ~2-3 significant digits; Ls should agree to a few percent.
+    denom = np.maximum(np.abs(np.asarray(L32)), 1.0)
+    assert (np.abs(np.asarray(L16) - np.asarray(L32)) / denom).mean() < 0.05
+
+
 def test_cells_loop_maxlog_umts():
     K, B = 80, 2
     bits, noisy = _encode_noisy(K, B, seed=5, ebn0_db=3.0,

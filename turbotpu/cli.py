@@ -53,6 +53,9 @@ def main(argv=None):
     bench.add_argument("--mode", choices=["logmap", "maxlog", "linlog"], default="maxlog")
     bench.add_argument("--siso", default="scan")
     bench.add_argument("--window", type=int, default=0)
+    bench.add_argument("--io-dtype", default="float32",
+                       choices=["float32", "bfloat16"],
+                       help="LLR/extrinsic HBM dtype on the Pallas path")
     bench.add_argument("--reps", type=int, default=10)
     bench.add_argument("--profile", default=None,
                        help="write a jax.profiler trace to this directory")
@@ -114,7 +117,8 @@ def main(argv=None):
         from turbotpu.harness.bench import bench_decode
         cfg = DecoderConfig(K=args.k, n_iters=args.iters, mode=args.mode,
                             ext_scale=(0.75 if args.mode == "maxlog" else 1.0),
-                            siso=args.siso, window=args.window)
+                            siso=args.siso, window=args.window,
+                            io_dtype=args.io_dtype)
         if args.profile:
             import jax
             rec = bench_decode(cfg, args.batch, n_timed=2)

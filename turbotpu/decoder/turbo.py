@@ -40,6 +40,10 @@ class DecoderConfig:
     crc_poly: int = crc_mod.CRC24A_POLY
     siso: str = "scan"              # "scan" | "ascan" | "pallas" | "window"
     window: int = 0                 # sliding-window length (0 = full block)
+    io_dtype: str = "float32"       # LLR/extrinsic HBM dtype on the Pallas
+                                    # cells path ("bfloat16" halves traffic
+                                    # on the bandwidth-bound kernel;
+                                    # metrics stay fp32)
 
     def perm(self) -> np.ndarray:
         return qpp_perm(self.K) if self.interleaver == "lte" else umts_perm(self.K)

@@ -40,8 +40,9 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
     perm_e = jnp.asarray(np.concatenate([perm.astype(np.int32), ext]))
     inv_e = jnp.asarray(np.concatenate([inv.astype(np.int32), ext]))
     scale = cfg.ext_scale if cfg.ext_scale else (0.75 if cfg.mode == "maxlog" else 1.0)
+    dt = jnp.dtype(cfg.io_dtype)  # LLR/extrinsic HBM dtype (metrics fp32)
     Bp = _round_up(B, CELL)
-    padb = lambda x: jnp.pad(x.astype(jnp.float32), ((0, Bp - B), (0, 0)))
+    padb = lambda x: jnp.pad(x.astype(dt), ((0, Bp - B), (0, 0)))
 
     def stream(body, tail, pad_val):
         full = jnp.concatenate([body, tail], axis=1)
@@ -71,7 +72,10 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
         # the kernel applies the scaling, so the gather is a pure gather.
         le2 = siso_cells(ls2_c, lp2_c, le1[:, perm_e], K, cfg.mode, scale)
         le21_new = le2[:, inv_e]
-        L_new = (ls1_c[:, :K] + scale * (le1[:, :K] + le21_new[:, :K]))
+        f32 = jnp.float32
+        L_new = (ls1_c[:, :K].astype(f32)
+                 + scale * (le1[:, :K].astype(f32)
+                            + le21_new[:, :K].astype(f32)))
         hard_new = (L_new < 0).astype(jnp.int8)
 
         if cfg.early_term == "crc":
@@ -93,7 +97,7 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
         done = done | newly_done
         return it + 1, le21, L, hard, done, iters
 
-    zT = jnp.zeros((n_cells, KTp, 8, 128), jnp.float32)
+    zT = jnp.zeros((n_cells, KTp, 8, 128), dt)
     zK = jnp.zeros((n_cells, K, 8, 128), jnp.float32)
     init = (jnp.int32(0), zT, zK, jnp.zeros(zK.shape, jnp.int8),
             jnp.zeros((n_cells, 8, 128), bool),

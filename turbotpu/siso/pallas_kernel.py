@@ -178,10 +178,13 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
             """Branch metrics for one unroll block, formed in registers:
             a = -(scale * la * [t < K_real] + ls), p = -lp.  (A whole-window
             precompute into VMEM scratch lowered ~80x slower in Mosaic --
-            keep this per-block.)"""
-            cls = ls_buf[slot, pl.ds(i * UNROLL, UNROLL)]
-            clp = lp_buf[slot, pl.ds(i * UNROLL, UNROLL)]
-            cla = la_buf[slot, pl.ds(i * UNROLL, UNROLL)]
+            keep this per-block.)  LLR streams may be bf16 (halves HBM
+            traffic on the bandwidth-bound kernel); metrics are always
+            computed in fp32."""
+            f32 = jnp.float32
+            cls = ls_buf[slot, pl.ds(i * UNROLL, UNROLL)].astype(f32)
+            clp = lp_buf[slot, pl.ds(i * UNROLL, UNROLL)].astype(f32)
+            cla = la_buf[slot, pl.ds(i * UNROLL, UNROLL)].astype(f32)
             base = w * W + i * UNROLL
             out = []
             for j in range(UNROLL):
@@ -252,7 +255,8 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
                     t = i0 + j
                     ca, cp = blk[j]
                     alpha_t = tuple(aw[t, s] for s in range(8))
-                    le_buf[t] = _extrinsic(alpha_t, beta, cp, mode)
+                    le_buf[t] = _extrinsic(alpha_t, beta, cp,
+                                           mode).astype(le_buf.dtype)
                     beta = _beta_step(beta, ca, cp, mode)
                 return _renorm(beta)
 
@@ -277,14 +281,16 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
 
 @functools.lru_cache(maxsize=None)
 def _build_call(n_cells: int, KTp: int, W: int, mode: str, K_real: int,
-                scale: float, boundary: bool, interpret: bool):
+                scale: float, boundary: bool, interpret: bool,
+                io_dtype: str = "float32"):
     n_win = KTp // W
+    dt = jnp.dtype(io_dtype)
     kernel = _make_kernel(n_win, W, mode, K_real, scale, boundary)
     stream = pl.BlockSpec(memory_space=pltpu.ANY)
     edge_in = pl.BlockSpec((1, 8, 8, 128), lambda c: (c, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     in_specs = [stream] * 3 + ([edge_in] * 2 if boundary else [])
-    out_shape = [jax.ShapeDtypeStruct((n_cells, KTp, 8, 128), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((n_cells, KTp, 8, 128), dt)]
     out_specs = [stream]
     if boundary:
         out_shape += [jax.ShapeDtypeStruct((n_cells, 8, 8, 128), jnp.float32)] * 2
@@ -296,12 +302,12 @@ def _build_call(n_cells: int, KTp: int, W: int, mode: str, K_real: int,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=[
-            pltpu.VMEM((2, W, 8, 128), jnp.float32),      # ls window buffers
-            pltpu.VMEM((2, W, 8, 128), jnp.float32),      # lp window buffers
-            pltpu.VMEM((2, W, 8, 128), jnp.float32),      # la window buffers
+            pltpu.VMEM((2, W, 8, 128), dt),               # ls window buffers
+            pltpu.VMEM((2, W, 8, 128), dt),               # lp window buffers
+            pltpu.VMEM((2, W, 8, 128), dt),               # la window buffers
             pltpu.VMEM((n_win, 8, 8, 128), jnp.float32),  # alpha checkpoints
             pltpu.VMEM((W, 8, 8, 128), jnp.float32),      # alpha within window
-            pltpu.VMEM((W, 8, 128), jnp.float32),         # Le window buffer
+            pltpu.VMEM((W, 8, 128), dt),                  # Le window buffer
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -347,13 +353,20 @@ def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
     boundaries: optional (alpha0, betaT), each (cells, 8, 8, 128) of edge
     state metrics per codeword; when given, returns (le, alpha_out,
     beta_out), otherwise just le (rows >= K_real are garbage).
+
+    The LLR streams may be bfloat16 (le comes back in the same dtype;
+    metrics stay fp32 in VMEM) -- the kernel is HBM-bandwidth-bound, so
+    halving stream bytes buys real throughput.  Boundary metrics are
+    always fp32.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_cells, KTp = ls_cells.shape[:2]
+    assert ls_cells.dtype == lp_cells.dtype == la_cells.dtype
     W = window_len(KTp)
     call = _build_call(n_cells, KTp, W, mode, K_real, float(scale),
-                       boundaries is not None, interpret)
+                       boundaries is not None, interpret,
+                       io_dtype=str(ls_cells.dtype))
     if boundaries is None:
         return call(ls_cells, lp_cells, la_cells)[0]
     return call(ls_cells, lp_cells, la_cells, *boundaries)
