@@ -38,13 +38,15 @@ def _batch(K, B, seed=0, ebn0_db=1.5, with_crc=False):
     return bits, noisy
 
 
-@pytest.mark.parametrize("siso", ["scan", "pallas"])
+@pytest.mark.parametrize("siso,io", [("scan", "float32"),
+                                     ("pallas", "float32"),
+                                     ("pallas", "bfloat16")])
 @pytest.mark.parametrize("data,seq", [(2, 4), (1, 8)])
-def test_seq_sharded_decodes(data, seq, siso):
+def test_seq_sharded_decodes(data, seq, siso, io):
     mesh = make_mesh(data=data, seq=seq)
     K, B = 320, 2 * data
     bits, noisy = _batch(K, B, ebn0_db=2.0)
-    cfg = DecoderConfig(K=K, n_iters=6, siso=siso)
+    cfg = DecoderConfig(K=K, n_iters=6, siso=siso, io_dtype=io)
     dec = decode_seq_sharded(mesh, cfg)
     spec = NamedSharding(mesh, P(("data",), None))
     args = [jax.device_put(x, spec) for x in noisy]

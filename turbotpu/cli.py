@@ -56,6 +56,11 @@ def main(argv=None):
     bench.add_argument("--io-dtype", default="float32",
                        choices=["float32", "bfloat16"],
                        help="LLR/extrinsic HBM dtype on the Pallas path")
+    bench.add_argument("--early-term", choices=["none", "crc", "sign"],
+                       default="none",
+                       help="measure EFFECTIVE throughput with early exit")
+    bench.add_argument("--ebn0", type=float, default=1.0,
+                       help="operating Eb/N0 for early-term benchmarks")
     bench.add_argument("--reps", type=int, default=10)
     bench.add_argument("--profile", default=None,
                        help="write a jax.profiler trace to this directory")
@@ -118,7 +123,8 @@ def main(argv=None):
         cfg = DecoderConfig(K=args.k, n_iters=args.iters, mode=args.mode,
                             ext_scale=(0.75 if args.mode == "maxlog" else 1.0),
                             siso=args.siso, window=args.window,
-                            io_dtype=args.io_dtype)
+                            io_dtype=args.io_dtype,
+                            early_term=args.early_term)
         if args.profile:
             import jax
             rec = bench_decode(cfg, args.batch, n_timed=2)
@@ -126,7 +132,8 @@ def main(argv=None):
                 rec = bench_decode(cfg, args.batch, n_timed=2, n_warmup=0)
             print(f"profile written to {args.profile}", file=sys.stderr)
         else:
-            rec = bench_decode(cfg, args.batch, n_timed=args.reps)
+            rec = bench_decode(cfg, args.batch, n_timed=args.reps,
+                               ebn0_db=args.ebn0)
         print(json.dumps(rec))
         return 0
 

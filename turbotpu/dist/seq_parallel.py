@@ -216,7 +216,8 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
         B = ls.shape[0]
         j = jax.lax.axis_index("seq")
         Bp = _round_up(B, CELL)
-        padb = lambda x: jnp.pad(x.astype(jnp.float32), ((0, Bp - B), (0, 0)))
+        dt = jnp.dtype(cfg.io_dtype)  # LLR/extrinsic HBM dtype
+        padb = lambda x: jnp.pad(x.astype(dt), ((0, Bp - B), (0, 0)))
 
         def stream(body_, tail, pad_val):
             full = jnp.concatenate([body_, tail], axis=1)
@@ -251,8 +252,7 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             # per-chunk), and pad-step extrinsics are +-BIG garbage.  Zero
             # just the KTp-K tail rows rather than a full-tensor multiply.
             le_full = jax.lax.dynamic_update_slice_in_dim(
-                le_full, jnp.zeros((n_cells, KTp - K, 8, 128), jnp.float32),
-                K, 1)
+                le_full, jnp.zeros((n_cells, KTp - K, 8, 128), dt), K, 1)
             return le_full, a_out, b_out
 
         def exchange(a_out, b_out):
@@ -272,7 +272,10 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             le1, a1o, b1o = siso_chunk(ls1_c, lp1_c, le21, a1, b1)
             le2, a2o, b2o = siso_chunk(ls2_c, lp2_c, le1[:, perm_e], a2, b2)
             le21_new = le2[:, inv_e]
-            L_new = ls1_c[:, :K] + scale * (le1[:, :K] + le21_new[:, :K])
+            f32 = jnp.float32
+            L_new = (ls1_c[:, :K].astype(f32)
+                     + scale * (le1[:, :K].astype(f32)
+                                + le21_new[:, :K].astype(f32)))
             hard_new = (L_new < 0).astype(jnp.int8)
             a1n, b1n = exchange(a1o, b1o)
             a2n, b2n = exchange(a2o, b2o)
@@ -302,7 +305,7 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
                     undone_g)
 
         init = (jnp.int32(0),
-                jnp.zeros((n_cells, KTp, 8, 128), jnp.float32),
+                jnp.zeros((n_cells, KTp, 8, 128), dt),
                 uni, uni, uni, uni,
                 jnp.zeros((n_cells, K, 8, 128), jnp.float32),
                 jnp.zeros((n_cells, K, 8, 128), jnp.int8),

@@ -19,14 +19,21 @@ from ..golden import numpy_ref as npr
 from ..spec.qpp import qpp_perm
 
 
-def make_decode_inputs(K: int, B: int, seed: int = 0, ebn0_db: float = 1.0):
-    """Host-side: one noisy encoded batch (tiled from a few codewords)."""
+def make_decode_inputs(K: int, B: int, seed: int = 0, ebn0_db: float = 1.0,
+                       with_crc: bool = False):
+    """Host-side: one noisy encoded batch (tiled from a few codewords).
+    with_crc attaches CRC-24A so CRC early termination has real frames."""
+    from ..spec.crc import CRC24A_POLY, crc_attach
     rng = np.random.default_rng(seed)
     n_base = min(B, 4)
     parts = [[] for _ in range(5)]
     perm = qpp_perm(K)
     for _ in range(n_base):
-        bits = rng.integers(0, 2, K).astype(np.int8)
+        if with_crc:
+            bits = crc_attach(rng.integers(0, 2, K - 24).astype(np.int8),
+                              CRC24A_POLY)
+        else:
+            bits = rng.integers(0, 2, K).astype(np.int8)
         for i, x in enumerate(npr.turbo_encode(bits, perm)):
             parts[i].append(x)
     sigma = np.sqrt(1 / (2 * 10 ** (ebn0_db / 10) / 3))
@@ -56,13 +63,18 @@ def _timed(fn) -> float:
 
 
 def bench_decode(cfg: DecoderConfig, B: int, n_timed: int = 16,
-                 n_warmup: int = 1, seed: int = 0) -> dict:
+                 n_warmup: int = 1, seed: int = 0,
+                 ebn0_db: float = 1.0) -> dict:
     """Time turbo_decode on one chip with the round-trip floor amortized
     AND subtracted: n_timed on-device decodes chained into one host fetch.
 
     The chain feeds a zero-valued function of each decode's output into the
-    next decode's input, so no call can be elided or reordered."""
-    inputs = make_decode_inputs(cfg.K, B, seed)
+    next decode's input, so no call can be elided or reordered.  With
+    cfg.early_term enabled, inputs carry CRC frames at ebn0_db and the
+    measurement is EFFECTIVE throughput at that operating point (early
+    exit included) rather than fixed-iteration throughput."""
+    inputs = make_decode_inputs(cfg.K, B, seed, ebn0_db,
+                                with_crc=cfg.early_term == "crc")
     inputs = jax.device_put(inputs)
 
     @functools.partial(jax.jit, static_argnames=("reps",))
@@ -85,6 +97,9 @@ def bench_decode(cfg: DecoderConfig, B: int, n_timed: int = 16,
     info_bits = B * cfg.K
     return {
         "K": cfg.K, "B": B, "iters": cfg.n_iters, "mode": cfg.mode,
-        "siso": cfg.siso, "wall_s_per_batch": wall,
+        "siso": cfg.siso, "io_dtype": cfg.io_dtype,
+        "early_term": cfg.early_term,
+        **({"ebn0_db": ebn0_db} if cfg.early_term != "none" else {}),
+        "wall_s_per_batch": wall,
         "mbit_per_s": info_bits / wall / 1e6,
     }

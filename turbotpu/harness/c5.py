@@ -56,7 +56,7 @@ def make_batch(K: int, B: int, ebn0_db: float, seed: int, interleaver="lte",
 def run_c5(K: int = 6144, B: int = 4096, ebn0_db: float = 0.8,
            n_iters: int = 6, data: int | None = None, seq: int = 2,
            n_timed: int = 4, seed: int = 0, verbose: bool = True,
-           siso: str = "pallas") -> dict:
+           siso: str = "pallas", io_dtype: str = "bfloat16") -> dict:
     multi = init_distributed()
     n_dev = len(jax.devices())
     if data is None:
@@ -66,7 +66,7 @@ def run_c5(K: int = 6144, B: int = 4096, ebn0_db: float = 0.8,
         data = n_dev
     mesh = make_mesh(data=data, seq=seq)
     cfg = DecoderConfig(K=K, n_iters=n_iters, mode="maxlog", ext_scale=0.75,
-                        early_term="crc", siso=siso)
+                        early_term="crc", siso=siso, io_dtype=io_dtype)
     decode = decode_seq_sharded(mesh, cfg)
     count = count_errors_sharded(mesh)
 
