@@ -55,27 +55,52 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
     lp2_c = stream(lp2, tail2[:, 1::2], 0.0)
     n_cells = ls1_c.shape[0]
 
-    if cfg.early_term == "crc":
-        G = jnp.asarray(_crc_check_matrix_np(K, cfg.crc_poly))
-    else:
-        G = None
+    f32 = jnp.float32
+    zT = jnp.zeros((n_cells, KTp, 8, 128), dt)
 
-    def cond(carry):
-        it, le21, L_prev, hard_prev, done, iters = carry
-        return (it < cfg.n_iters) & ~jnp.all(done)
-
-    def body(carry):
-        it, le21, L_prev, hard_prev, done, iters = carry
+    def half_iters(le21, le1):
+        """The two SISO half-iterations + extrinsic interleave gathers --
+        the only per-iteration work that is algorithmically required."""
         # SISO1 (natural order); le21 rows >= K are garbage, masked in-kernel.
         le1 = siso_cells(ls1_c, lp1_c, le21, K, cfg.mode, scale)
         # SISO2 (interleaved order): a-priori is scale*le1 gathered by perm;
         # the kernel applies the scaling, so the gather is a pure gather.
         le2 = siso_cells(ls2_c, lp2_c, le1[:, perm_e], K, cfg.mode, scale)
-        le21_new = le2[:, inv_e]
-        f32 = jnp.float32
-        L_new = (ls1_c[:, :K].astype(f32)
-                 + scale * (le1[:, :K].astype(f32)
-                            + le21_new[:, :K].astype(f32)))
+        return le2[:, inv_e], le1
+
+    def full_llr(le21, le1):
+        return (ls1_c[:, :K].astype(f32)
+                + scale * (le1[:, :K].astype(f32) + le21[:, :K].astype(f32)))
+
+    if cfg.early_term == "none":
+        # Lean loop: no L/hard/freeze bookkeeping inside -- those tensors
+        # are pure HBM traffic that rivals the kernels themselves (measured
+        # in experiments/pk_cost8.py).  Compute outputs once after the loop.
+        def body(carry):
+            it, le21, le1 = carry
+            le21, le1 = half_iters(le21, le1)
+            return it + 1, le21, le1
+
+        _, le21, le1 = jax.lax.while_loop(
+            lambda c: c[0] < cfg.n_iters, body, (jnp.int32(0), zT, zT))
+        L = full_llr(le21, le1)
+        hard = (L < 0).astype(jnp.int8)
+        hard_b = from_cells(hard)[:B]
+        L_b = from_cells(L)[:B]
+        iters_b = jnp.full((B,), cfg.n_iters, jnp.int32)
+        return hard_b, iters_b, L_b
+
+    if cfg.early_term == "crc":
+        G = jnp.asarray(_crc_check_matrix_np(K, cfg.crc_poly))
+
+    def cond(carry):
+        it, le21, le1, L_prev, hard_prev, done, iters = carry
+        return (it < cfg.n_iters) & ~jnp.all(done)
+
+    def body(carry):
+        it, le21, le1, L_prev, hard_prev, done, iters = carry
+        le21, le1 = half_iters(le21, le1)
+        L_new = full_llr(le21, le1)
         hard_new = (L_new < 0).astype(jnp.int8)
 
         if cfg.early_term == "crc":
@@ -84,28 +109,27 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             newly_done = jnp.all(synd % 2.0 == 0.0, axis=-1)  # (cells, 8, 128)
-        elif cfg.early_term == "sign":
+        else:  # sign agreement
             newly_done = jnp.all(hard_new == hard_prev, axis=1)
-        else:
-            newly_done = jnp.zeros((n_cells, 8, 128), bool)
 
+        # Freeze outputs of converged codewords branchlessly.  le21/le1 keep
+        # evolving for them (harmless: hard/L/iters below are pinned, and
+        # the extra SISO work is free -- the batch runs anyway).
         keep = done[:, None]
-        le21 = jnp.where(keep, le21, le21_new)
         L = jnp.where(keep, L_prev, L_new)
         hard = jnp.where(keep, hard_prev, hard_new)
         iters = iters + (~done).astype(jnp.int32)
         done = done | newly_done
-        return it + 1, le21, L, hard, done, iters
+        return it + 1, le21, le1, L, hard, done, iters
 
-    zT = jnp.zeros((n_cells, KTp, 8, 128), dt)
-    zK = jnp.zeros((n_cells, K, 8, 128), jnp.float32)
-    init = (jnp.int32(0), zT, zK, jnp.zeros(zK.shape, jnp.int8),
+    zK = jnp.zeros((n_cells, K, 8, 128), f32)
+    init = (jnp.int32(0), zT, zT, zK, jnp.zeros(zK.shape, jnp.int8),
             jnp.zeros((n_cells, 8, 128), bool),
             jnp.zeros((n_cells, 8, 128), jnp.int32))
     # while_loop (not fori): XLA would fully unroll a 6-trip fori,
     # instantiating the Mosaic kernel 12x (multi-minute compiles); the
     # dynamic condition also exits as soon as every codeword's CRC passes.
-    _, le21, L, hard, done, iters = jax.lax.while_loop(cond, body, init)
+    _, le21, le1, L, hard, done, iters = jax.lax.while_loop(cond, body, init)
 
     hard_b = from_cells(hard)[:B]
     L_b = from_cells(L)[:B]
