@@ -55,3 +55,45 @@ def test_cells_loop_maxlog_umts():
                         interleaver="umts", siso="pallas")
     h, i, L = turbo_decode(*args, cfg)
     assert (np.asarray(h) == bits).all()
+
+
+def test_cells_loop_nii():
+    """NII mode (stale per-window alpha starts, exact beta) must decode a
+    moderate-SNR multi-window batch identically to the exact kernel on
+    hard decisions, and exactly when there is a single window (K small)."""
+    K, B = 512, 3  # KTp=640 -> 5 windows of 128: NII is genuinely stale
+    bits, noisy = _encode_noisy(K, B, seed=11, ebn0_db=1.5)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    args = [f32(x) for x in noisy]
+    base = dict(K=K, n_iters=4, mode="maxlog", ext_scale=0.75, siso="pallas")
+    hx, _, Lx = turbo_decode(*args, DecoderConfig(**base))
+    hn, _, Ln = turbo_decode(*args, DecoderConfig(**base, nii=True))
+    assert (np.asarray(hn) == bits).all()
+    assert (np.asarray(hn) == np.asarray(hx)).all()
+    # Soft outputs track closely (alpha staleness heals across iterations).
+    denom = np.maximum(np.abs(np.asarray(Lx)), 1.0)
+    assert (np.abs(np.asarray(Ln) - np.asarray(Lx)) / denom).mean() < 0.1
+
+
+def test_cells_loop_nii_single_window_exact():
+    K, B = 104, 2  # single window: NII == exact bit-for-bit
+    bits, noisy = _encode_noisy(K, B, seed=2, ebn0_db=2.0)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    args = [f32(x) for x in noisy]
+    base = dict(K=K, n_iters=4, mode="maxlog", ext_scale=0.75, siso="pallas")
+    hx, _, Lx = turbo_decode(*args, DecoderConfig(**base))
+    hn, _, Ln = turbo_decode(*args, DecoderConfig(**base, nii=True))
+    np.testing.assert_array_equal(np.asarray(hx), np.asarray(hn))
+    np.testing.assert_allclose(np.asarray(Lx), np.asarray(Ln), atol=1e-5)
+
+
+def test_cells_loop_nii_crc_early_term():
+    K, B = 512, 3
+    bits, noisy = _encode_noisy(K, B, seed=4, ebn0_db=2.0, with_crc=True)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    args = [f32(x) for x in noisy]
+    cfg = DecoderConfig(K=K, n_iters=8, mode="maxlog", ext_scale=0.75,
+                        siso="pallas", early_term="crc", nii=True)
+    h, it, _ = turbo_decode(*args, cfg)
+    assert (np.asarray(h) == bits).all()
+    assert (np.asarray(it) < 8).all()  # early exit actually fired

@@ -44,6 +44,12 @@ class DecoderConfig:
                                     # cells path ("bfloat16" halves traffic
                                     # on the bandwidth-bound kernel;
                                     # metrics stay fp32)
+    nii: bool = False               # Pallas path: skip the exact phase-1
+                                    # alpha pass; window-start alphas inherit
+                                    # from the previous half-iteration
+                                    # (next-iteration initialization).
+                                    # ~25-30% faster; BER validated within
+                                    # the 0.05 dB bar (tests/ber)
 
     def perm(self) -> np.ndarray:
         return qpp_perm(self.K) if self.interleaver == "lte" else umts_perm(self.K)

@@ -30,7 +30,9 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
     B, K = ls.shape
     assert K == cfg.K
     KT = K + 3
-    W = window_len(KT)
+    # cfg.window overrides the kernel window (must divide into UNROLL
+    # blocks); larger windows cut NII seam count at the cost of VMEM.
+    W = cfg.window if cfg.window else window_len(KT)
     KTp = _round_up(KT, W)
     perm = np.asarray(cfg.perm())
     inv = np.asarray(cfg.inv())
@@ -57,16 +59,27 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
 
     f32 = jnp.float32
     zT = jnp.zeros((n_cells, KTp, 8, 128), dt)
+    n_win = KTp // W
+    # NII state: per-window alpha start metrics per SISO, carried across
+    # half-iterations (zeros = uniform cold start; [_, 0] ignored in-kernel).
+    zC = jnp.zeros((n_cells, n_win, 8, 8, 128), f32) if cfg.nii else None
 
-    def half_iters(le21, le1):
+    def half_iters(le21, le1, ck1, ck2):
         """The two SISO half-iterations + extrinsic interleave gathers --
         the only per-iteration work that is algorithmically required."""
         # SISO1 (natural order); le21 rows >= K are garbage, masked in-kernel.
-        le1 = siso_cells(ls1_c, lp1_c, le21, K, cfg.mode, scale)
         # SISO2 (interleaved order): a-priori is scale*le1 gathered by perm;
         # the kernel applies the scaling, so the gather is a pure gather.
-        le2 = siso_cells(ls2_c, lp2_c, le1[:, perm_e], K, cfg.mode, scale)
-        return le2[:, inv_e], le1
+        if cfg.nii:
+            le1, ck1 = siso_cells(ls1_c, lp1_c, le21, K, cfg.mode, scale,
+                                  nii_ckpt=ck1, window=W)
+            le2, ck2 = siso_cells(ls2_c, lp2_c, le1[:, perm_e], K, cfg.mode,
+                                  scale, nii_ckpt=ck2, window=W)
+        else:
+            le1 = siso_cells(ls1_c, lp1_c, le21, K, cfg.mode, scale, window=W)
+            le2 = siso_cells(ls2_c, lp2_c, le1[:, perm_e], K, cfg.mode, scale,
+                             window=W)
+        return le2[:, inv_e], le1, ck1, ck2
 
     def full_llr(le21, le1):
         return (ls1_c[:, :K].astype(f32)
@@ -77,12 +90,13 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
         # are pure HBM traffic that rivals the kernels themselves (measured
         # in experiments/pk_cost8.py).  Compute outputs once after the loop.
         def body(carry):
-            it, le21, le1 = carry
-            le21, le1 = half_iters(le21, le1)
-            return it + 1, le21, le1
+            it, le21, le1, ck1, ck2 = carry
+            le21, le1, ck1, ck2 = half_iters(le21, le1, ck1, ck2)
+            return it + 1, le21, le1, ck1, ck2
 
-        _, le21, le1 = jax.lax.while_loop(
-            lambda c: c[0] < cfg.n_iters, body, (jnp.int32(0), zT, zT))
+        _, le21, le1, _, _ = jax.lax.while_loop(
+            lambda c: c[0] < cfg.n_iters, body,
+            (jnp.int32(0), zT, zT, zC, zC))
         L = full_llr(le21, le1)
         hard = (L < 0).astype(jnp.int8)
         hard_b = from_cells(hard)[:B]
@@ -94,12 +108,12 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
         G = jnp.asarray(_crc_check_matrix_np(K, cfg.crc_poly))
 
     def cond(carry):
-        it, le21, le1, L_prev, hard_prev, done, iters = carry
+        it, le21, le1, ck1, ck2, L_prev, hard_prev, done, iters = carry
         return (it < cfg.n_iters) & ~jnp.all(done)
 
     def body(carry):
-        it, le21, le1, L_prev, hard_prev, done, iters = carry
-        le21, le1 = half_iters(le21, le1)
+        it, le21, le1, ck1, ck2, L_prev, hard_prev, done, iters = carry
+        le21, le1, ck1, ck2 = half_iters(le21, le1, ck1, ck2)
         L_new = full_llr(le21, le1)
         hard_new = (L_new < 0).astype(jnp.int8)
 
@@ -120,16 +134,17 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
         hard = jnp.where(keep, hard_prev, hard_new)
         iters = iters + (~done).astype(jnp.int32)
         done = done | newly_done
-        return it + 1, le21, le1, L, hard, done, iters
+        return it + 1, le21, le1, ck1, ck2, L, hard, done, iters
 
     zK = jnp.zeros((n_cells, K, 8, 128), f32)
-    init = (jnp.int32(0), zT, zT, zK, jnp.zeros(zK.shape, jnp.int8),
+    init = (jnp.int32(0), zT, zT, zC, zC, zK, jnp.zeros(zK.shape, jnp.int8),
             jnp.zeros((n_cells, 8, 128), bool),
             jnp.zeros((n_cells, 8, 128), jnp.int32))
     # while_loop (not fori): XLA would fully unroll a 6-trip fori,
     # instantiating the Mosaic kernel 12x (multi-minute compiles); the
     # dynamic condition also exits as soon as every codeword's CRC passes.
-    _, le21, le1, L, hard, done, iters = jax.lax.while_loop(cond, body, init)
+    (_, le21, le1, _, _, L, hard, done, iters
+     ) = jax.lax.while_loop(cond, body, init)
 
     hard_b = from_cells(hard)[:B]
     L_b = from_cells(L)[:B]

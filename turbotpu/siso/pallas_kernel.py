@@ -126,7 +126,7 @@ def _init_e0():
 
 
 def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
-                 boundary: bool):
+                 boundary: bool, nii: bool = False):
     """Fused SISO kernel body.
 
     Streams raw (ls, lp, la) from HBM and forms branch metrics in VMEM:
@@ -139,15 +139,33 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
     With boundary=True the recursions start from caller-provided edge
     metrics (alpha0/betaT per codeword) and the kernel also returns the
     outgoing edges -- the contract the cross-device windowed BCJR uses.
+
+    With nii=True (next-iteration initialization, the standard windowed
+    turbo-decoder technique) phase 1 is dropped entirely: per-window alpha
+    start metrics come from the PREVIOUS half-iteration's recomputation
+    pass (ain), and this call emits the fresh ones (aout) for the next.
+    Window 0 always starts from the exact trellis edge e0, so ain[0] is
+    ignored (callers may pass garbage there; cold-start with zeros =
+    uniform metrics).  Beta remains EXACT -- it flows continuously
+    backward through all windows within the call -- so only alpha is one
+    half-iteration stale at window seams, healing one window per
+    iteration.  Cuts compute ~20% and stream reads ~50% vs the exact
+    two-phase kernel.
     """
     n_sub = W // UNROLL
     assert W % UNROLL == 0
+    assert not (boundary and nii), "nii composes with monolithic decode only"
 
     def kernel(*refs):
         if boundary:
             (ls_hbm, lp_hbm, la_hbm, a0_ref, bT_ref,
              le_hbm, aout_ref, bout_ref,
              ls_buf, lp_buf, la_buf, ckpt, aw, le_buf,
+             ls_sem, lp_sem, la_sem, o_sem) = refs
+        elif nii:
+            (ls_hbm, lp_hbm, la_hbm, ain_ref,
+             le_hbm, aout_ref,
+             ls_buf, lp_buf, la_buf, aw, le_buf,
              ls_sem, lp_sem, la_sem, o_sem) = refs
         else:
             (ls_hbm, lp_hbm, la_hbm,
@@ -192,8 +210,6 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
                 out.append((-(cla[j] * sm + cls[j]), -clp[j]))
             return out
 
-        # ---------------- Phase 1: forward alpha, checkpoints only --------
-        start_in(0, 0)
         if boundary:
             alpha_init = tuple(a0_ref[0, s] for s in range(8))
             beta_init = tuple(bT_ref[0, s] for s in range(8))
@@ -201,28 +217,32 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
             alpha_init = _init_e0()
             beta_init = _init_e0()
 
-        def phase1_body(w, alpha):
-            slot = jax.lax.rem(w, 2)
+        if not nii:
+            # ------------- Phase 1: forward alpha, checkpoints only -------
+            start_in(0, 0)
 
-            @pl.when(w + 1 < n_win)
-            def _():
-                start_in(jax.lax.rem(w + 1, 2), w + 1)
+            def phase1_body(w, alpha):
+                slot = jax.lax.rem(w, 2)
 
-            wait_in(slot, w)
-            for s in range(8):
-                ckpt[w, s] = alpha[s]
+                @pl.when(w + 1 < n_win)
+                def _():
+                    start_in(jax.lax.rem(w + 1, 2), w + 1)
 
-            def fwd_body(i, alpha):
-                for ca, cp in rows(slot, i, w):
-                    alpha = _alpha_step(alpha, ca, cp, mode)
-                return _renorm(alpha)
+                wait_in(slot, w)
+                for s in range(8):
+                    ckpt[w, s] = alpha[s]
 
-            return jax.lax.fori_loop(0, n_sub, fwd_body, alpha)
+                def fwd_body(i, alpha):
+                    for ca, cp in rows(slot, i, w):
+                        alpha = _alpha_step(alpha, ca, cp, mode)
+                    return _renorm(alpha)
 
-        alpha_fin = jax.lax.fori_loop(0, n_win, phase1_body, alpha_init)
-        if boundary:
-            for s in range(8):
-                aout_ref[0, s] = alpha_fin[s]
+                return jax.lax.fori_loop(0, n_sub, fwd_body, alpha)
+
+            alpha_fin = jax.lax.fori_loop(0, n_win, phase1_body, alpha_init)
+            if boundary:
+                for s in range(8):
+                    aout_ref[0, s] = alpha_fin[s]
 
         # ---------------- Phase 2: backward, recompute alpha, emit Le -----
         start_in((n_win - 1) % 2, n_win - 1)
@@ -236,7 +256,16 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
                 start_in(jax.lax.rem(w + 1, 2), w - 1)
 
             wait_in(slot, w)
-            alpha = tuple(ckpt[w, s] for s in range(8))
+            if nii:
+                # Stale-by-one-half-iteration window start (exact e0 at the
+                # true trellis head); emit this window's end metric as the
+                # next half-iteration's start for window w+1.
+                e0 = _init_e0()
+                alpha = tuple(
+                    jnp.where(w == 0, e0[s], ain_ref[0, w, s])
+                    for s in range(8))
+            else:
+                alpha = tuple(ckpt[w, s] for s in range(8))
 
             def rec_body(i, alpha):
                 for j, (ca, cp) in enumerate(rows(slot, i, w)):
@@ -246,7 +275,12 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
                     alpha = _alpha_step(alpha, ca, cp, mode)
                 return _renorm(alpha)
 
-            jax.lax.fori_loop(0, n_sub, rec_body, alpha)
+            alpha_end = jax.lax.fori_loop(0, n_sub, rec_body, alpha)
+            if nii:
+                @pl.when(w + 1 < n_win)
+                def _():
+                    for s in range(8):
+                        aout_ref[0, w + 1, s] = alpha_end[s]
 
             def bwd_body(i, beta):
                 i0 = W - (i + 1) * UNROLL
@@ -282,37 +316,50 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
 @functools.lru_cache(maxsize=None)
 def _build_call(n_cells: int, KTp: int, W: int, mode: str, K_real: int,
                 scale: float, boundary: bool, interpret: bool,
-                io_dtype: str = "float32"):
+                io_dtype: str = "float32", nii: bool = False):
     n_win = KTp // W
     dt = jnp.dtype(io_dtype)
-    kernel = _make_kernel(n_win, W, mode, K_real, scale, boundary)
+    kernel = _make_kernel(n_win, W, mode, K_real, scale, boundary, nii)
     stream = pl.BlockSpec(memory_space=pltpu.ANY)
     edge_in = pl.BlockSpec((1, 8, 8, 128), lambda c: (c, 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    in_specs = [stream] * 3 + ([edge_in] * 2 if boundary else [])
+    ckpt_spec = pl.BlockSpec((1, n_win, 8, 8, 128), lambda c: (c, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [stream] * 3
+    if boundary:
+        in_specs += [edge_in] * 2
+    elif nii:
+        in_specs += [ckpt_spec]
     out_shape = [jax.ShapeDtypeStruct((n_cells, KTp, 8, 128), dt)]
     out_specs = [stream]
     if boundary:
         out_shape += [jax.ShapeDtypeStruct((n_cells, 8, 8, 128), jnp.float32)] * 2
         out_specs += [edge_in] * 2
+    elif nii:
+        out_shape += [jax.ShapeDtypeStruct((n_cells, n_win, 8, 8, 128),
+                                           jnp.float32)]
+        out_specs += [ckpt_spec]
+    scratch = [
+        pltpu.VMEM((2, W, 8, 128), dt),               # ls window buffers
+        pltpu.VMEM((2, W, 8, 128), dt),               # lp window buffers
+        pltpu.VMEM((2, W, 8, 128), dt),               # la window buffers
+        pltpu.VMEM((n_win, 8, 8, 128), jnp.float32),  # alpha checkpoints
+        pltpu.VMEM((W, 8, 8, 128), jnp.float32),      # alpha within window
+        pltpu.VMEM((W, 8, 128), dt),                  # Le window buffer
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if nii:
+        del scratch[3]  # no phase-1 checkpoint buffer
     return pl.pallas_call(
         kernel,
         grid=(n_cells,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[
-            pltpu.VMEM((2, W, 8, 128), dt),               # ls window buffers
-            pltpu.VMEM((2, W, 8, 128), dt),               # lp window buffers
-            pltpu.VMEM((2, W, 8, 128), dt),               # la window buffers
-            pltpu.VMEM((n_win, 8, 8, 128), jnp.float32),  # alpha checkpoints
-            pltpu.VMEM((W, 8, 8, 128), jnp.float32),      # alpha within window
-            pltpu.VMEM((W, 8, 128), dt),                  # Le window buffer
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )
 
@@ -341,7 +388,9 @@ def from_cells(x: jax.Array) -> jax.Array:
 def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
                K_real: int, mode: str, scale: float = 1.0,
                boundaries: tuple[jax.Array, jax.Array] | None = None,
-               interpret: bool | None = None):
+               interpret: bool | None = None,
+               nii_ckpt: jax.Array | None = None,
+               window: int = 0):
     """Cell-layout kernel entry: raw LLR streams in, extrinsics out.
 
     ls/lp/la: (cells, KTp, 8, 128) with KTp a multiple of the window; pad
@@ -354,6 +403,13 @@ def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
     state metrics per codeword; when given, returns (le, alpha_out,
     beta_out), otherwise just le (rows >= K_real are garbage).
 
+    nii_ckpt: optional (cells, n_win, 8, 8, 128) fp32 per-window alpha
+    start metrics from the previous half-iteration (NII mode -- skips the
+    phase-1 forward pass; see _make_kernel).  Returns (le, new_ckpt);
+    entry [_, 0] is ignored/garbage (window 0 starts exactly at e0).
+    Cold-start with zeros (uniform metrics).  Mutually exclusive with
+    boundaries.
+
     The LLR streams may be bfloat16 (le comes back in the same dtype;
     metrics stay fp32 in VMEM) -- the kernel is HBM-bandwidth-bound, so
     halving stream bytes buys real throughput.  Boundary metrics are
@@ -363,13 +419,18 @@ def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
         interpret = jax.default_backend() != "tpu"
     n_cells, KTp = ls_cells.shape[:2]
     assert ls_cells.dtype == lp_cells.dtype == la_cells.dtype
-    W = window_len(KTp)
+    W = window or window_len(KTp)
+    assert KTp % W == 0 and W % UNROLL == 0
     call = _build_call(n_cells, KTp, W, mode, K_real, float(scale),
                        boundaries is not None, interpret,
-                       io_dtype=str(ls_cells.dtype))
-    if boundaries is None:
-        return call(ls_cells, lp_cells, la_cells)[0]
-    return call(ls_cells, lp_cells, la_cells, *boundaries)
+                       io_dtype=str(ls_cells.dtype),
+                       nii=nii_ckpt is not None)
+    if boundaries is not None:
+        return call(ls_cells, lp_cells, la_cells, *boundaries)
+    if nii_ckpt is not None:
+        le, ckpt = call(ls_cells, lp_cells, la_cells, nii_ckpt)
+        return le, ckpt
+    return call(ls_cells, lp_cells, la_cells)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "interpret"))
