@@ -44,7 +44,9 @@ def main(argv=None):
     ber.add_argument("--ebn0", type=float, nargs="+", default=[0.0, 0.5, 1.0])
     ber.add_argument("--E", type=int, default=0, help="rate-matched length")
     ber.add_argument("--rv", type=int, default=0)
-    ber.add_argument("--modulation", choices=["bpsk", "qpsk"], default="bpsk")
+    ber.add_argument("--modulation",
+                     choices=["bpsk", "qpsk", "qam16", "qam64"],
+                     default="bpsk")
     ber.add_argument("--min-frame-errors", type=int, default=50)
     ber.add_argument("--max-frames", type=int, default=200_000)
     ber.add_argument("--seed", type=int, default=0)

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..decoder.turbo import DecoderConfig, turbo_decode
 from ..spec.crc import CRC24A_POLY
-from ..tx import chain
+from ..tx import chain, qam
 from ..tx.rate_match_jax import (de_rate_match_jax, lte_demux_jax,
                                  lte_mux_jax, rate_match_jax)
 
@@ -38,7 +38,7 @@ class SimConfig:
     ebn0_db_grid: tuple[float, ...] = (0.0, 0.5, 1.0)
     decoder: DecoderConfig = dataclasses.field(
         default_factory=lambda: DecoderConfig(K=40))
-    modulation: str = "bpsk"          # "bpsk" | "qpsk"
+    modulation: str = "bpsk"          # "bpsk" | "qpsk" | "qam16" | "qam64"
     use_crc: bool = True              # attach CRC-24A inside the payload
     E: int = 0                        # rate-matched length (0 = mother rate)
     rv: int = 0
@@ -57,7 +57,7 @@ class SimConfig:
 
 def _ebn0_to_esn0_db(cfg: SimConfig, ebn0_db: float) -> float:
     """Es/N0 = Eb/N0 * rate * bits-per-symbol (unit-energy symbols)."""
-    bps = 2.0 if cfg.modulation == "qpsk" else 1.0
+    bps = qam.BITS_PER_SYMBOL[cfg.modulation]
     return ebn0_db + 10 * np.log10(cfg.rate * bps)
 
 
@@ -98,6 +98,14 @@ def make_step(cfg: SimConfig):
             x = chain.modulate_qpsk(tx_bits.astype(jnp.int8))
             y = chain.awgn_complex(kn, x, esn0_db)
             llr = chain.demap_qpsk(y, esn0_db)
+        elif cfg.modulation in ("qam16", "qam64"):
+            m = qam.BITS_PER_SYMBOL[cfg.modulation]
+            nb = tx_bits.shape[1]
+            pad = (-nb) % m  # zero-pad to a whole symbol; drop after demap
+            xb = jnp.pad(tx_bits.astype(jnp.int8), ((0, 0), (0, pad)))
+            x = qam.modulate_qam(xb, m)
+            y = chain.awgn_complex(kn, x, esn0_db)
+            llr = qam.demap_qam(y, esn0_db, m)[:, :nb]
         else:
             x = chain.modulate_bpsk(tx_bits.astype(jnp.int8))
             y = chain.awgn(kn, x, esn0_db)
