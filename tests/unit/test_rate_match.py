@@ -1,9 +1,12 @@
+import itertools
+
 import numpy as np
 import pytest
 
 from turbotpu.spec.rate_match import (circular_buffer_map, de_rate_match,
                                       rate_match, select_indices,
                                       sub_block_maps)
+from turbotpu.spec.rate_match_ref import rate_match_ref
 
 
 def test_sub_block_maps_are_permutations():
@@ -82,3 +85,69 @@ def test_rate_match_golden_bits():
     assert e.shape == (200,)
     idx = select_indices(K, 200, rv=1)
     assert (e == d[idx]).all()
+
+
+# ---------------------------------------------------------------------------
+# Independent-oracle conformance (VERDICT round-1 item 1b): the index-map
+# production path must agree with the literal TS 36.212 while-loop path of
+# spec/rate_match_ref.py over a (K, E, rv, n_cb, F) grid.
+# ---------------------------------------------------------------------------
+
+def _d_symbol_streams(K):
+    D = K + 4
+    return (list(range(D)), list(range(D, 2 * D)), list(range(2 * D, 3 * D)))
+
+
+@pytest.mark.parametrize("K", [40, 104, 512, 1024, 6144])
+def test_matches_literal_spec_oracle(K):
+    d0, d1, d2 = _d_symbol_streams(K)
+    for E, rv in itertools.product((17, K, 2 * K, 3 * K + 12, 4 * K),
+                                   range(4)):
+        got = select_indices(K, E, rv).tolist()
+        ref = rate_match_ref(d0, d1, d2, E, rv)
+        assert got == ref, (K, E, rv)
+
+
+def test_matches_literal_spec_oracle_limited_ncb():
+    # Limited soft-buffer sizes N_cb < 3*K_pi (UE category soft limiting).
+    K = 512
+    d0, d1, d2 = _d_symbol_streams(K)
+    K_pi = circular_buffer_map(K)[2]
+    for n_cb in (K_pi + 32, 2 * K_pi, 3 * K_pi - 64):
+        for rv in range(4):
+            got = select_indices(K, 2 * K, rv, n_cb).tolist()
+            ref = rate_match_ref(d0, d1, d2, 2 * K, rv, n_cb)
+            assert got == ref, (n_cb, rv)
+
+
+@pytest.mark.parametrize("K,F", [(40, 4), (512, 28), (6144, 63)])
+def test_matches_literal_spec_oracle_with_fillers(K, F):
+    d0, d1, d2 = _d_symbol_streams(K)
+    for E, rv in itertools.product((K, 3 * K + 12, 4 * K), range(4)):
+        got = select_indices(K, E, rv, F=F).tolist()
+        ref = rate_match_ref(d0, d1, d2, E, rv, F=F)
+        assert got == ref, (K, E, rv, F)
+
+
+def test_filler_positions_never_selected():
+    # TS 36.212 section 5.1.4.1: <NULL> filler bits in d0/d1 are skipped by
+    # bit selection for any rv, even with heavy repetition.
+    K, F = 256, 20
+    D = K + 4
+    filler_idx = set(range(F)) | set(range(D, D + F))
+    for rv in range(4):
+        idx = select_indices(K, 6 * K, rv, F=F)
+        assert not (set(idx.tolist()) & filler_idx)
+        # d2 and non-filler d0/d1 positions all still covered at this E.
+        want = set(range(3 * D)) - filler_idx
+        assert set(idx.tolist()) == want
+
+
+def test_de_rate_match_fillers_stay_zero():
+    K, F = 104, 12
+    D = K + 4
+    rng = np.random.default_rng(3)
+    E = 2 * K
+    llr = rng.normal(size=E)
+    l0, l1, l2 = de_rate_match(llr, K, rv=0, F=F)
+    assert (l0[:F] == 0).all() and (l1[:F] == 0).all()

@@ -70,10 +70,20 @@ def circular_buffer_map(K: int) -> tuple[np.ndarray, np.ndarray, int]:
 
 
 @functools.lru_cache(maxsize=None)
-def select_indices(K: int, E: int, rv: int = 0, n_cb: int | None = None) -> np.ndarray:
+def select_indices(K: int, E: int, rv: int = 0, n_cb: int | None = None,
+                   F: int = 0) -> np.ndarray:
     """Indices into the flat [d0,d1,d2] array (length 3D) of the E
-    transmitted soft bits, in transmission order."""
+    transmitted soft bits, in transmission order.
+
+    F > 0 marks the first F positions of d^(0) and d^(1) as <NULL> filler
+    bits (TS 36.212 section 5.1.3.2); like interleaver padding dummies,
+    the bit selection skips them, so filler bits are never transmitted.
+    """
     wmap, valid, K_pi = circular_buffer_map(K)
+    if F:
+        D = K + 4
+        filler = (wmap < F) | ((wmap >= D) & (wmap < D + F))
+        valid = valid & ~filler
     if n_cb is None:
         n_cb = 3 * K_pi
     R = K_pi // C_SUB
@@ -90,21 +100,23 @@ def select_indices(K: int, E: int, rv: int = 0, n_cb: int | None = None) -> np.n
 
 
 def rate_match(d0: np.ndarray, d1: np.ndarray, d2: np.ndarray, E: int,
-               rv: int = 0, n_cb: int | None = None) -> np.ndarray:
+               rv: int = 0, n_cb: int | None = None, F: int = 0) -> np.ndarray:
     """Golden host-side rate matching: 3 streams of length D -> E bits."""
     K = len(d0) - 4
     d = np.concatenate([d0, d1, d2])
-    return d[select_indices(K, E, rv, n_cb)]
+    return d[select_indices(K, E, rv, n_cb, F)]
 
 
 def de_rate_match(llr_e: np.ndarray, K: int, rv: int = 0,
-                  n_cb: int | None = None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+                  n_cb: int | None = None, F: int = 0
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Golden host-side inverse: E LLRs -> (l0, l1, l2) each of length K+4.
 
-    Repetition combines by addition; punctured positions stay 0.
+    Repetition combines by addition; punctured positions (and, with F > 0,
+    never-transmitted filler positions) stay 0.
     """
     D = K + 4
-    idx = select_indices(K, len(llr_e), rv, n_cb)
+    idx = select_indices(K, len(llr_e), rv, n_cb, F)
     acc = np.zeros(3 * D, dtype=np.float64)
     np.add.at(acc, idx, np.asarray(llr_e, dtype=np.float64))
     return acc[:D], acc[D:2 * D], acc[2 * D:]

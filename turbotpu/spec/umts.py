@@ -85,15 +85,17 @@ def umts_perm(K: int) -> np.ndarray:
     for j in range(1, p - 1):
         s[j] = (v * s[j - 1]) % p
 
-    # q(0)=1; q(i) = least prime > q(i-1), gcd(q(i), p-1) == 1.
+    # q(0)=1; q(i) = least prime with gcd(q(i), p-1) == 1, q(i) > 6, and
+    # q(i) > q(i-1).  The "> 6" floor is part of TS 25.212 section
+    # 4.2.3.2.3.2 step (2); dropping it yields a wrong-but-bijective
+    # permutation (caught in round 2 by the independent umts_ref oracle).
     q = [1]
     cand = 2
     while len(q) < R:
-        if _is_prime(cand) and cand > q[-1] and np.gcd(cand, p - 1) == 1:
+        if (_is_prime(cand) and cand > 6 and cand > q[-1]
+                and np.gcd(cand, p - 1) == 1):
             q.append(cand)
-            cand += 1
-        else:
-            cand += 1
+        cand += 1
     q = np.array(q, dtype=np.int64)
 
     # Inter-row permutation pattern T.
