@@ -33,6 +33,33 @@ def test_qpsk_step_runs():
     assert rec["bit_errs"] == 0
 
 
+def test_harq_rv_sequence_step_runs_and_gains():
+    # Heavy puncture (rate ~0.8 single-shot) at low SNR: 1 transmission has
+    # frame errors, the 4-rv IR combination decodes clean at the same
+    # per-transmission Es/N0 (esn0 passed directly to bypass the per-config
+    # Eb/N0 normalization, which differs between the two configs).
+    import jax.numpy as jnp
+    esn0 = jnp.float32(0.0)
+    cfg1 = _fast_cfg(E=50, B=64, decoder=DecoderConfig(K=40, n_iters=4))
+    cfg4 = _fast_cfg(E=50, B=64, rv_sequence=(0, 2, 3, 1),
+                     decoder=DecoderConfig(K=40, n_iters=4))
+    import jax.random
+    key = jax.random.key(0)
+    be1, fe1, _ = make_step(cfg1)(key, esn0)
+    be4, fe4, _ = make_step(cfg4)(key, esn0)
+    assert int(fe1) > 0
+    assert int(fe4) < int(fe1)
+
+
+def test_qam_rate_counts_pad_bits():
+    # E=50 at qam64 pads to 54 channel bits/tx; the Eb/N0 label must count
+    # them (ADVICE round-1 item 2).
+    cfg = _fast_cfg(E=50, modulation="qam64")
+    assert cfg.rate == pytest.approx(40 / 54)
+    cfg = _fast_cfg(E=50, modulation="qam64", rv_sequence=(0, 2))
+    assert cfg.rate == pytest.approx(40 / 108)
+
+
 def test_resume_skips_completed_points(tmp_path):
     path = tmp_path / "r.jsonl"
     cfg = _fast_cfg(ebn0_db_grid=(9.0, 10.0))

@@ -44,6 +44,9 @@ def main(argv=None):
     ber.add_argument("--ebn0", type=float, nargs="+", default=[0.0, 0.5, 1.0])
     ber.add_argument("--E", type=int, default=0, help="rate-matched length")
     ber.add_argument("--rv", type=int, default=0)
+    ber.add_argument("--rv-seq", type=int, nargs="+", default=None,
+                     help="HARQ IR redundancy-version sequence, e.g. "
+                          "--rv-seq 0 2 3 1 (requires --E)")
     ber.add_argument("--modulation",
                      choices=["bpsk", "qpsk", "qam16", "qam64"],
                      default="bpsk")
@@ -114,13 +117,13 @@ def main(argv=None):
         else:
             dec = DecoderConfig(K=args.k, n_iters=args.iters, mode=args.mode,
                                 io_dtype=args.io_dtype, nii=args.nii,
-                                ext_scale=(0.75 if args.mode == "maxlog" else 1.0),
                                 interleaver=args.interleaver,
                                 early_term=args.early_term,
                                 siso=args.siso, window=args.window)
             cfgs = (SimConfig(name=f"cli_k{args.k}_{args.mode}", K=args.k,
                               B=args.batch, ebn0_db_grid=tuple(args.ebn0),
                               decoder=dec, E=args.E, rv=args.rv,
+                              rv_sequence=tuple(args.rv_seq or ()),
                               modulation=args.modulation,
                               use_crc=args.early_term == "crc",
                               min_frame_errors=args.min_frame_errors,
@@ -133,7 +136,6 @@ def main(argv=None):
     if args.cmd == "bench":
         from turbotpu.harness.bench import bench_decode
         cfg = DecoderConfig(K=args.k, n_iters=args.iters, mode=args.mode,
-                            ext_scale=(0.75 if args.mode == "maxlog" else 1.0),
                             siso=args.siso, window=args.window,
                             io_dtype=args.io_dtype, nii=args.nii,
                             early_term=args.early_term)
@@ -152,7 +154,7 @@ def main(argv=None):
     if args.cmd == "scaling":
         from turbotpu.harness.scaling import bench_scaling
         cfg = DecoderConfig(K=args.k, n_iters=args.iters, mode="maxlog",
-                            ext_scale=0.75, siso=args.siso)
+                            siso=args.siso)
         for rec in bench_scaling(cfg, args.per_device_batch, args.devices):
             print(json.dumps(rec))
         return 0

@@ -41,7 +41,7 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
     ext = np.arange(K, KTp, dtype=np.int32)
     perm_e = jnp.asarray(np.concatenate([perm.astype(np.int32), ext]))
     inv_e = jnp.asarray(np.concatenate([inv.astype(np.int32), ext]))
-    scale = cfg.ext_scale if cfg.ext_scale else (0.75 if cfg.mode == "maxlog" else 1.0)
+    scale = cfg.resolved_ext_scale()
     dt = jnp.dtype(cfg.io_dtype)  # LLR/extrinsic HBM dtype (metrics fp32)
     Bp = _round_up(B, CELL)
     padb = lambda x: jnp.pad(x.astype(dt), ((0, Bp - B), (0, 0)))

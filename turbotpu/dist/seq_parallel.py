@@ -56,7 +56,7 @@ def _decode_seq_sharded_scan(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
     KTp = C * n_seq
     perm = jnp.asarray(cfg.perm())
     inv = jnp.asarray(cfg.inv())
-    scale = cfg.ext_scale if cfg.ext_scale else (0.75 if cfg.mode == "maxlog" else 1.0)
+    scale = cfg.resolved_ext_scale()
     G = make_crc_matrix(K, cfg.crc_poly) if cfg.early_term == "crc" else None
 
     fwd = [(i, (i + 1) % n_seq) for i in range(n_seq)]
@@ -196,7 +196,7 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
     perm_e = jnp.asarray(np.concatenate([perm.astype(np.int32), ext]))
     inv_e = jnp.asarray(
         np.concatenate([np.asarray(cfg.inv()).astype(np.int32), ext]))
-    scale = cfg.ext_scale if cfg.ext_scale else (0.75 if cfg.mode == "maxlog" else 1.0)
+    scale = cfg.resolved_ext_scale()
     if cfg.early_term == "crc":
         from ..decoder.early_term import _crc_check_matrix_np
         G_np = _crc_check_matrix_np(K, cfg.crc_poly)

@@ -42,6 +42,10 @@ class SimConfig:
     use_crc: bool = True              # attach CRC-24A inside the payload
     E: int = 0                        # rate-matched length (0 = mother rate)
     rv: int = 0
+    rv_sequence: tuple[int, ...] = ()  # HARQ IR: redundancy versions of the
+                                       # retransmissions soft-combined at the
+                                       # receiver; () = single transmission
+                                       # at `rv`.  Requires E > 0.
     min_frame_errors: int = 50
     max_frames: int = 200_000
     seed: int = 0
@@ -49,10 +53,19 @@ class SimConfig:
                                # (amortizes the ~38 ms axon fetch round-trip)
 
     @property
+    def rvs(self) -> tuple[int, ...]:
+        return self.rv_sequence if self.rv_sequence else (self.rv,)
+
+    @property
     def rate(self) -> float:
-        """Information rate in info bits per channel bit."""
-        n_tx = self.E if self.E else 3 * self.K + 12
-        return self.K / n_tx
+        """Information rate in info bits per channel bit, counting EVERY
+        transmitted channel bit: HARQ retransmissions and the zero-pad to
+        whole modulation symbols (the pad carries symbol energy, so folding
+        it in keeps the Eb/N0 label honest for QAM with E % m != 0)."""
+        per_tx = self.E if self.E else 3 * self.K + 12
+        m = qam.BITS_PER_SYMBOL[self.modulation]
+        per_tx = -(-per_tx // m) * m
+        return self.K / (per_tx * len(self.rvs))
 
 
 def _ebn0_to_esn0_db(cfg: SimConfig, ebn0_db: float) -> float:
@@ -83,6 +96,27 @@ def make_step(cfg: SimConfig):
             0, cfg.steps_per_check, body, (key, z, z, z))
         return be, fe, it
 
+    def _channel(kn: jax.Array, tx_bits: jax.Array, esn0_db: jax.Array):
+        """modulate -> AWGN -> demap; pads to whole symbols for m > 1."""
+        if cfg.modulation == "qpsk":
+            nb = tx_bits.shape[1]
+            pad = (-nb) % 2
+            xb = jnp.pad(tx_bits.astype(jnp.int8), ((0, 0), (0, pad)))
+            x = chain.modulate_qpsk(xb)
+            y = chain.awgn_complex(kn, x, esn0_db)
+            return chain.demap_qpsk(y, esn0_db)[:, :nb]
+        if cfg.modulation in ("qam16", "qam64"):
+            m = qam.BITS_PER_SYMBOL[cfg.modulation]
+            nb = tx_bits.shape[1]
+            pad = (-nb) % m  # zero-pad to a whole symbol; drop after demap
+            xb = jnp.pad(tx_bits.astype(jnp.int8), ((0, 0), (0, pad)))
+            x = qam.modulate_qam(xb, m)
+            y = chain.awgn_complex(kn, x, esn0_db)
+            return qam.demap_qam(y, esn0_db, m)[:, :nb]
+        x = chain.modulate_bpsk(tx_bits.astype(jnp.int8))
+        y = chain.awgn(kn, x, esn0_db)
+        return chain.demap_bpsk(y, esn0_db)
+
     def _one_batch(key: jax.Array, esn0_db: jax.Array):
         kp, kn = jax.random.split(key)
         payload = chain.gen_payload(kp, cfg.B, n_payload)
@@ -91,29 +125,16 @@ def make_step(cfg: SimConfig):
         enc = chain.turbo_encode(bits, perm)
         d_flat = lte_mux_jax(*enc).astype(jnp.float32)
         if cfg.E:
-            tx_bits = rate_match_jax(d_flat, cfg.E, cfg.rv)
+            # One or more (HARQ IR) transmissions of the circular buffer;
+            # each rv window sees fresh noise, the receiver scatter-adds
+            # all de-rate-matched LLRs (soft combining).
+            llr_d = jnp.zeros_like(d_flat)
+            for kv, v in zip(jax.random.split(kn, len(cfg.rvs)), cfg.rvs):
+                tx_bits = rate_match_jax(d_flat, cfg.E, v)
+                llr = _channel(kv, tx_bits, esn0_db)
+                llr_d = llr_d + de_rate_match_jax(llr, cfg.K, v)
         else:
-            tx_bits = d_flat
-        if cfg.modulation == "qpsk":
-            x = chain.modulate_qpsk(tx_bits.astype(jnp.int8))
-            y = chain.awgn_complex(kn, x, esn0_db)
-            llr = chain.demap_qpsk(y, esn0_db)
-        elif cfg.modulation in ("qam16", "qam64"):
-            m = qam.BITS_PER_SYMBOL[cfg.modulation]
-            nb = tx_bits.shape[1]
-            pad = (-nb) % m  # zero-pad to a whole symbol; drop after demap
-            xb = jnp.pad(tx_bits.astype(jnp.int8), ((0, 0), (0, pad)))
-            x = qam.modulate_qam(xb, m)
-            y = chain.awgn_complex(kn, x, esn0_db)
-            llr = qam.demap_qam(y, esn0_db, m)[:, :nb]
-        else:
-            x = chain.modulate_bpsk(tx_bits.astype(jnp.int8))
-            y = chain.awgn(kn, x, esn0_db)
-            llr = chain.demap_bpsk(y, esn0_db)
-        if cfg.E:
-            llr_d = de_rate_match_jax(llr, cfg.K, cfg.rv)
-        else:
-            llr_d = llr
+            llr_d = _channel(kn, d_flat, esn0_db)
         parts = lte_demux_jax(llr_d)
         hard, iters, _ = turbo_decode(*parts, cfg.decoder)
         bit_errs = jnp.sum(hard != bits, dtype=jnp.int32)

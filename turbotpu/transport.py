@@ -8,8 +8,16 @@ batched device decode (at most two sizes exist per TS 36.212, K- and K+),
 CRC-24B check per block, filler stripping, reassembly, CRC-24A check.
 
 Filler bits are known zeros at the receiver, so their systematic LLRs are
-overwritten with +BIG before decoding (the known-0-bit trick; in rate-
-matched LTE they would be punctured at the transmitter instead).
+overwritten with +BIG before decoding (the known-0-bit trick).  Under rate
+matching they are additionally spec-exact: the first F positions of d^(0)
+and d^(1) of code block 0 are <NULL> (TS 36.212 s5.1.3.2) and the bit
+selection skips them, so fillers are never transmitted; the receiver's
+de-rate-matching leaves them 0 before the +BIG overwrite.
+
+HARQ incremental redundancy: transmit_transport_block / decode_transport_
+block accept a redundancy-version SEQUENCE (e.g. (0, 2, 3, 1)); each
+retransmission selects a different circular-buffer window and the receiver
+soft-combines the de-rate-matched LLRs by addition before one decode.
 
 SURVEY.md section 1 item 6 and section 3 component 5: segmentation as a
 first-class capability, integrated end-to-end rather than a spec-layer
@@ -57,7 +65,7 @@ def encode_transport_block(info_bits: np.ndarray):
 
 def transmit_transport_block(info_bits: np.ndarray, ebn0_db: float,
                              seed: int = 0, G: int | None = None,
-                             rv: int = 0):
+                             rv: int | tuple[int, ...] = 0):
     """encode_transport_block + BPSK + AWGN + LLR demap.
 
     With G=None (no rate matching, rate 1/3) returns (llr_blocks, seg)
@@ -67,12 +75,23 @@ def transmit_transport_block(info_bits: np.ndarray, ebn0_db: float,
     (puncturing when E_r < 3K+12, repetition when larger) and
     llr_blocks[r] is the flat length-E_r received LLR vector; pass
     rate_matched=True (and the same rv) to decode_transport_block.
+    Filler bits of block 0 are <NULL> and never transmitted.
+
+    HARQ: pass rv as a sequence of redundancy versions; each entry is an
+    independent transmission (fresh noise) of the same circular buffer and
+    llr_blocks[r] becomes a tuple of per-transmission LLR vectors.
     """
     blocks, seg = encode_transport_block(info_bits)
     rng = np.random.default_rng(seed)
+    rvs = rv if isinstance(rv, (tuple, list)) else (rv,)
+    n_tx = len(rvs)
     # Es/N0 = rate * Eb/N0 with the TRUE information rate (info bits per
-    # channel bit), so the Eb/N0 label stays honest under rate matching.
-    n_chan = G if G is not None else sum(3 * K + 12 for K in seg.sizes)
+    # channel bit over ALL transmissions), so the Eb/N0 label stays honest
+    # under rate matching and HARQ retransmission.
+    if G is not None:
+        n_chan = G * n_tx
+    else:
+        n_chan = sum(3 * K + 12 for K in seg.sizes)
     rate = len(np.asarray(info_bits)) / n_chan
     sigma = np.sqrt(1 / (2 * rate * 10 ** (ebn0_db / 10)))
 
@@ -85,32 +104,51 @@ def transmit_transport_block(info_bits: np.ndarray, ebn0_db: float,
         for parts in blocks:
             llr_blocks.append(tuple(demap(a) for a in parts))
     else:
-        for parts, E in zip(blocks, per_block_e(G, seg.C)):
-            e_bits = rate_match(*npr.lte_mux(*parts), E, rv)
-            llr_blocks.append(demap(e_bits))
+        for r, (parts, E) in enumerate(zip(blocks, per_block_e(G, seg.C))):
+            F = seg.F if r == 0 else 0
+            d = npr.lte_mux(*parts)
+            txs = tuple(demap(rate_match(*d, E, v, F=F)) for v in rvs)
+            llr_blocks.append(txs if isinstance(rv, (tuple, list))
+                              else txs[0])
     return llr_blocks, seg
 
 
 def decode_transport_block(llr_blocks, B: int, n_iters: int = 6,
                            mode: str = "logmap", siso: str = "scan",
                            ext_scale: float | None = None,
-                           rate_matched: bool = False, rv: int = 0):
+                           rate_matched: bool = False,
+                           rv: int | tuple[int, ...] = 0):
     """Decode a transport block from per-code-block LLRs.
 
     llr_blocks: list (block order) of (sys, par1, par2, tail1, tail2) LLR
     arrays — or, with rate_matched=True, of flat length-E_r LLR vectors
     that are first de-rate-matched (repetition LLRs combine, punctured
     positions start at 0).  B: CRC-attached transport block length (seg.B
-    from the transmit side).  Returns (info_bits, crc_ok, details) where
-    details carries per-block CRC-24B results and iteration counts.
+    from the transmit side).  With rv a sequence (HARQ), llr_blocks[r] is
+    a tuple of per-transmission LLR vectors whose de-rate-matched LLRs are
+    soft-combined by addition (incremental redundancy).  Returns
+    (info_bits, crc_ok, details) where details carries per-block CRC-24B
+    results and iteration counts.
     """
     seg = segment_params(B)
     assert len(llr_blocks) == seg.C, (len(llr_blocks), seg.C)
     if rate_matched:
-        llr_blocks = [
-            npr.lte_demux(*de_rate_match(
-                np.asarray(llr_e, np.float64), seg.sizes[r], rv))
-            for r, llr_e in enumerate(llr_blocks)]
+        rvs = rv if isinstance(rv, (tuple, list)) else (rv,)
+
+        def combine(r, txs):
+            if not isinstance(txs, (tuple, list)):
+                txs = (txs,)
+            assert len(txs) == len(rvs)
+            F = seg.F if r == 0 else 0
+            acc = None
+            for llr_e, v in zip(txs, rvs):
+                d = np.concatenate(de_rate_match(
+                    np.asarray(llr_e, np.float64), seg.sizes[r], v, F=F))
+                acc = d if acc is None else acc + d
+            D = seg.sizes[r] + 4
+            return npr.lte_demux(acc[:D], acc[D:2 * D], acc[2 * D:])
+
+        llr_blocks = [combine(r, txs) for r, txs in enumerate(llr_blocks)]
     llr_blocks = [tuple(np.asarray(p, np.float32) for p in blk)
                   for blk in llr_blocks]
     if seg.F:
@@ -119,8 +157,6 @@ def decode_transport_block(llr_blocks, B: int, n_iters: int = 6,
         ls0[:seg.F] = BIG
         llr_blocks[0] = (ls0,) + llr_blocks[0][1:]
 
-    scale = ext_scale if ext_scale is not None else (
-        0.75 if mode == "maxlog" else 1.0)
     hard_blocks: list[np.ndarray | None] = [None] * seg.C
     iters_out = np.zeros(seg.C, np.int32)
     # One batched decode per distinct K (TS 36.212 yields at most two).
@@ -129,7 +165,7 @@ def decode_transport_block(llr_blocks, B: int, n_iters: int = 6,
         batch = [jnp.asarray(np.stack([llr_blocks[r][i] for r in idxs]))
                  for i in range(5)]
         cfg = DecoderConfig(
-            K=K, n_iters=n_iters, mode=mode, ext_scale=scale, siso=siso,
+            K=K, n_iters=n_iters, mode=mode, ext_scale=ext_scale, siso=siso,
             early_term="crc" if seg.C > 1 else "none",
             crc_poly=CRC24B_POLY)
         hard, iters, _ = turbo_decode(*batch, cfg)

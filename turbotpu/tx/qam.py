@@ -49,7 +49,12 @@ def constellation(m: int) -> tuple[np.ndarray, np.ndarray]:
         i_amp = s[:, 0] * (4.0 - s[:, 2] * (2.0 - s[:, 4]))
         q_amp = s[:, 1] * (4.0 - s[:, 3] * (2.0 - s[:, 5]))
         norm = np.sqrt(42.0)
-    return (i_amp + 1j * q_amp) / norm, bits
+    points = (i_amp + 1j * q_amp) / norm
+    # lru_cache shares these arrays across all callers: freeze them so a
+    # mutating caller cannot corrupt the cache.
+    points.flags.writeable = False
+    bits.flags.writeable = False
+    return points, bits
 
 
 def modulate_qam(bits: jax.Array, m: int) -> jax.Array:

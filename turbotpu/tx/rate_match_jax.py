@@ -45,26 +45,40 @@ def lte_demux_jax(d_flat: jax.Array):
 
 
 @functools.lru_cache(maxsize=None)
-def _sel_idx(K: int, E: int, rv: int, n_cb) -> np.ndarray:
-    return select_indices(K, E, rv, n_cb)
+def _sel_idx(K: int, E: int, rv: int, n_cb, F: int = 0) -> np.ndarray:
+    return select_indices(K, E, rv, n_cb, F)
 
 
 def rate_match_jax(d_flat: jax.Array, E: int, rv: int = 0,
-                   n_cb: int | None = None) -> jax.Array:
+                   n_cb: int | None = None, F: int = 0) -> jax.Array:
     """(B, 3D) -> (B, E) transmitted soft/hard bits."""
     K = d_flat.shape[1] // 3 - 4
-    idx = jnp.asarray(_sel_idx(K, E, rv, n_cb))
+    idx = jnp.asarray(_sel_idx(K, E, rv, n_cb, F))
     return d_flat[:, idx]
 
 
 def de_rate_match_jax(llr_e: jax.Array, K: int, rv: int = 0,
-                      n_cb: int | None = None) -> jax.Array:
+                      n_cb: int | None = None, F: int = 0) -> jax.Array:
     """(B, E) received LLRs -> (B, 3D) combined stream LLRs.
 
-    Repetition combines by scatter-add; punctured positions stay 0.
+    Repetition combines by scatter-add; punctured positions (and filler
+    positions when F > 0) stay 0.
     """
     E = llr_e.shape[1]
     D = K + 4
-    idx = jnp.asarray(_sel_idx(K, E, rv, n_cb))
+    idx = jnp.asarray(_sel_idx(K, E, rv, n_cb, F))
     out = jnp.zeros((llr_e.shape[0], 3 * D), llr_e.dtype)
     return out.at[:, idx].add(llr_e)
+
+
+def de_rate_match_harq_jax(llr_e_txs, K: int, rvs, n_cb=None,
+                           F: int = 0) -> jax.Array:
+    """HARQ incremental-redundancy combining: de-rate-match each
+    retransmission (B, E_t) at its redundancy version and SUM the LLRs
+    (TS 36.212 s5.1.4.1.2 circular buffer, soft combining across rv_idx)."""
+    assert len(llr_e_txs) == len(rvs)
+    out = None
+    for llr_e, rv in zip(llr_e_txs, rvs):
+        d = de_rate_match_jax(llr_e, K, rv, n_cb, F)
+        out = d if out is None else out + d
+    return out
