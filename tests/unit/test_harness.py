@@ -51,6 +51,26 @@ def test_harq_rv_sequence_step_runs_and_gains():
     assert int(fe4) < int(fe1)
 
 
+def test_mixed_k_pad_to_bucket():
+    """K_mix batch: true sizes (40, 72, 104) padded to the K=104 bucket,
+    decoded in one call; error-free at high SNR and BER accounting uses
+    true (non-filler) bits only."""
+    cfg = _fast_cfg(K=104, K_mix=(40, 72, 104), B=12,
+                    decoder=DecoderConfig(K=104, n_iters=3,
+                                          early_term="crc"),
+                    use_crc=True, ebn0_db_grid=(8.0,))
+    assert cfg.mean_true_k == pytest.approx((40 + 72 + 104) / 3)
+    rec = simulate_point(cfg, 8.0)
+    assert rec["bit_errs"] == 0
+    assert rec["k_mix"] == [40, 72, 104]
+    assert rec["bits"] == rec["frames"] * 72  # mean true K
+
+
+def test_mixed_k_rejects_oversize():
+    with pytest.raises(ValueError):
+        _fast_cfg(K=104, K_mix=(40, 200), B=4).filler_lengths()
+
+
 def test_qam_rate_counts_pad_bits():
     # E=50 at qam64 pads to 54 channel bits/tx; the Eb/N0 label must count
     # them (ADVICE round-1 item 2).

@@ -59,6 +59,16 @@ class DecoderConfig:
     def inv(self) -> np.ndarray:
         return qpp_inv(self.K) if self.interleaver == "lte" else umts_inv(self.K)
 
+    def __post_init__(self):
+        if self.nii and self.K >= 4096 and (self.window or 128) < 256:
+            import warnings
+            warnings.warn(
+                f"NII with window={self.window or 128} at K={self.K} was "
+                "measured at ~0.06 dB BER penalty -- OUTSIDE the 0.05 dB "
+                "conformance bar (RESULTS.md NII table). Use window=256 "
+                "(validated at ~0.03 dB) or disable nii.",
+                stacklevel=3)
+
     def resolved_ext_scale(self) -> float:
         """THE single resolution point for extrinsic scaling (round-1
         VERDICT item 8: the resolution idiom was copy-pasted in four

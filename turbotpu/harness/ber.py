@@ -40,6 +40,14 @@ class SimConfig:
         default_factory=lambda: DecoderConfig(K=40))
     modulation: str = "bpsk"          # "bpsk" | "qpsk" | "qam16" | "qam64"
     use_crc: bool = True              # attach CRC-24A inside the payload
+    K_mix: tuple[int, ...] = ()       # mixed true block sizes (pad-to-bucket,
+                                      # SURVEY.md section 8 hard part 3): each
+                                      # codeword i carries K_mix[i % len] info
+                                      # bits; blocks are ENCODED at the bucket
+                                      # ceiling K with K - K_mix[i] leading
+                                      # known-zero fillers and decoded in ONE
+                                      # jitted call with per-codeword masks.
+                                      # () = homogeneous batch at K.
     E: int = 0                        # rate-matched length (0 = mother rate)
     rv: int = 0
     rv_sequence: tuple[int, ...] = ()  # HARQ IR: redundancy versions of the
@@ -55,6 +63,21 @@ class SimConfig:
     @property
     def rvs(self) -> tuple[int, ...]:
         return self.rv_sequence if self.rv_sequence else (self.rv,)
+
+    def filler_lengths(self) -> np.ndarray | None:
+        """Per-codeword filler counts (B,) for a K_mix batch, else None."""
+        if not self.K_mix:
+            return None
+        if max(self.K_mix) > self.K:
+            raise ValueError(f"K_mix {self.K_mix} exceeds bucket K={self.K}")
+        ks = np.array([self.K_mix[i % len(self.K_mix)] for i in range(self.B)])
+        return (self.K - ks).astype(np.int32)
+
+    @property
+    def mean_true_k(self) -> float:
+        """Mean non-filler block length (== K when homogeneous)."""
+        f = self.filler_lengths()
+        return float(self.K - f.mean()) if f is not None else float(self.K)
 
     @property
     def rate(self) -> float:
@@ -74,10 +97,14 @@ def _ebn0_to_esn0_db(cfg: SimConfig, ebn0_db: float) -> float:
     return ebn0_db + 10 * np.log10(cfg.rate * bps)
 
 
+BIG_LLR = 1e9  # known-zero filler certainty
+
+
 def make_step(cfg: SimConfig):
     """Build the fused per-batch simulation step: key, esn0_db -> counters."""
     n_payload = cfg.K - 24 if cfg.use_crc else cfg.K
     perm = cfg.decoder.perm()
+    F = cfg.filler_lengths()  # (B,) or None; baked in as a device constant
 
     @jax.jit
     def step(key: jax.Array, esn0_db: jax.Array):
@@ -120,6 +147,12 @@ def make_step(cfg: SimConfig):
     def _one_batch(key: jax.Array, esn0_db: jax.Array):
         kp, kn = jax.random.split(key)
         payload = chain.gen_payload(kp, cfg.B, n_payload)
+        if F is not None:
+            # Pad-to-bucket: codeword i's first F[i] bits are known-zero
+            # fillers (inside the CRC like LTE segmentation fillers).
+            fill = jnp.asarray(F)[:, None]
+            payload = payload * (jnp.arange(n_payload) >= fill).astype(
+                payload.dtype)
         bits = (chain.crc_attach_batch(payload, cfg.decoder.crc_poly)
                 if cfg.use_crc else payload)
         enc = chain.turbo_encode(bits, perm)
@@ -136,9 +169,19 @@ def make_step(cfg: SimConfig):
         else:
             llr_d = _channel(kn, d_flat, esn0_db)
         parts = lte_demux_jax(llr_d)
+        if F is not None:
+            # The receiver knows the fillers are zero: certainty-clamp
+            # their systematic LLRs before decoding.
+            ls, lp1, lp2, t1, t2 = parts
+            fill = jnp.asarray(F)[:, None]
+            ls = jnp.where(jnp.arange(cfg.K) < fill, BIG_LLR, ls)
+            parts = (ls, lp1, lp2, t1, t2)
         hard, iters, _ = turbo_decode(*parts, cfg.decoder)
-        bit_errs = jnp.sum(hard != bits, dtype=jnp.int32)
-        frame_err_mask = jnp.any(hard != bits, axis=1)
+        err = hard != bits
+        if F is not None:
+            err = err & (jnp.arange(cfg.K) >= jnp.asarray(F)[:, None])
+        bit_errs = jnp.sum(err, dtype=jnp.int32)
+        frame_err_mask = jnp.any(err, axis=1)
         frame_errs = jnp.sum(frame_err_mask, dtype=jnp.int32)
         return bit_errs, frame_errs, jnp.sum(iters, dtype=jnp.int32)
 
@@ -161,9 +204,11 @@ def simulate_point(cfg: SimConfig, ebn0_db: float, step=None) -> dict:
         iters_sum += int(it)
         frames += cfg.B * cfg.steps_per_check
     wall = time.perf_counter() - t0
-    info_bits = frames * cfg.K
+    # Fillers of a mixed-K batch are known bits, not information.
+    info_bits = int(round(frames * cfg.mean_true_k))
     return {
         "config": cfg.name, "K": cfg.K, "mode": cfg.decoder.mode,
+        **({"k_mix": list(cfg.K_mix)} if cfg.K_mix else {}),
         "iters_max": cfg.decoder.n_iters, "ebn0_db": float(ebn0_db),
         "frames": frames, "bits": info_bits,
         "bit_errs": bit_errs, "frame_errs": frame_errs,
