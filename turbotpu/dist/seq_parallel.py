@@ -8,11 +8,18 @@ next-iteration initialization (NII), the overlap-save analog named in the
 north star.  Iteration 0 starts from uniform boundaries, exactly like
 single-chip NII windowing.
 
-Sharding layout: the codeword batch shards over 'data'; branch-metric
-streams are replicated over 'seq' and each seq shard computes only its
-chunk (the QPP interleaver's gather crosses chunk edges, so extrinsics are
-all-gathered over 'seq' between half-iterations; QPP contention-freeness
-permits a fully partitioned exchange -- noted as a future optimization).
+Sharding layout: the codeword batch shards over 'data'; channel streams are
+chunked once at setup and every per-iteration tensor stays CHUNK-LOCAL
+(C = ceil(KT/n_seq) trellis steps per shard).  The extrinsic interleave /
+deinterleave between half-iterations is a PARTITIONED exchange (round-1
+VERDICT item 5): the permutation is static, so each shard's needs are
+routed by precomputed tables -- same-shard rows (including the identity
+pad tail) are a local gather, cross-shard rows ride ONE tiled
+`lax.all_to_all` of ~C/n_seq rows per peer.  Per-shard receive volume is
+C rows instead of the K rows an all_gather would move; QPP
+contention-freeness [P:9] is what keeps the per-peer buckets balanced.
+CRC early termination psums shard-local partial syndromes (GF(2)
+linearity) instead of gathering hard bits.
 """
 
 from __future__ import annotations
@@ -25,14 +32,93 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..decoder.turbo import DecoderConfig
-from ..decoder.early_term import crc_ok_batch, make_crc_matrix
 from ..siso.scan import NEG, siso_scan_boundary
-from ..siso.windowed import BIG
 from ..spec.trellis import N_STATES
 
 
 def _round_up(x, m):
     return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Partitioned extrinsic exchange
+# ---------------------------------------------------------------------------
+
+def exchange_tables(perm_e: np.ndarray, C: int, n_seq: int):
+    """Static routing tables for la_local[t] = le[perm_e[j*C + t]] with le
+    chunk-sharded over 'seq' (C rows per shard).
+
+    Returns (local_tbl, send_tbl, slot_tbl, M):
+      local_tbl (n_seq, C):    shard j's same-shard source offsets (C = pad,
+                               reads a zero row) -- handles the identity
+                               tail and every perm entry that stays local.
+      send_tbl (n_seq, n_seq, M): send_tbl[s, j, m] = local offset ON SHARD
+                               s of the m-th value s ships to shard j
+                               (C = pad).
+      slot_tbl (n_seq, n_seq*M): slot_tbl[j, s*M+m] = destination offset on
+                               shard j of that value (C = pad, dropped).
+      M: max per-(src,dst) bucket size over s != j; 0 means no cross-shard
+                               traffic at all (n_seq == 1).
+    """
+    KTp = C * n_seq
+    assert len(perm_e) == KTp
+    src = perm_e // C
+    off = perm_e % C
+    local_tbl = np.full((n_seq, C), C, np.int32)
+    buckets: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    M = 0
+    for j in range(n_seq):
+        for t in range(C):
+            s = int(src[j * C + t])
+            o = int(off[j * C + t])
+            if s == j:
+                local_tbl[j, t] = o
+            else:
+                b = buckets.setdefault((s, j), [])
+                b.append((t, o))
+                M = max(M, len(b))
+    send_tbl = np.full((n_seq, n_seq, M), C, np.int32)
+    slot_tbl = np.full((n_seq, n_seq * M), C, np.int32)
+    for (s, j), pairs in buckets.items():
+        for m, (t, o) in enumerate(pairs):
+            send_tbl[s, j, m] = o
+            slot_tbl[j, s * M + m] = t
+    return local_tbl, send_tbl, slot_tbl, M
+
+
+def make_exchange(perm_e: np.ndarray, C: int, n_seq: int,
+                  axis_name: str = "seq"):
+    """Build fn(le_local, j) -> la_local applying the static permutation
+    across chunk-sharded rows (axis 1) with one all_to_all."""
+    local_np, send_np, slot_np, M = exchange_tables(perm_e, C, n_seq)
+    local_tbl = jnp.asarray(local_np)
+    send_tbl = jnp.asarray(send_np.reshape(n_seq, -1))
+    slot_tbl = jnp.asarray(slot_np)
+
+    def apply(le_local: jax.Array, j: jax.Array) -> jax.Array:
+        zrow = jnp.zeros_like(le_local[:, :1])
+        le_pad = jnp.concatenate([le_local, zrow], axis=1)
+        la = jnp.take(le_pad, jnp.take(local_tbl, j, axis=0), axis=1)
+        if M == 0:
+            return la
+        sb = jnp.take(le_pad, jnp.take(send_tbl, j, axis=0), axis=1)
+        rb = jax.lax.all_to_all(sb, axis_name, split_axis=1, concat_axis=1,
+                                tiled=True)
+        la_pad = jnp.concatenate([la, zrow], axis=1)
+        la_pad = la_pad.at[:, jnp.take(slot_tbl, j, axis=0)].set(rb)
+        return la_pad[:, :C]
+
+    return apply
+
+
+def _chunked_crc_matrix(K: int, crc_poly: int, C: int, n_seq: int):
+    """(n_seq, C, 24) per-shard slices of the CRC check matrix, zero-padded
+    beyond K so garbage pad-row hard bits contribute nothing."""
+    from ..decoder.early_term import _crc_check_matrix_np
+    G = _crc_check_matrix_np(K, crc_poly)
+    Gp = np.zeros((C * n_seq, G.shape[1]), G.dtype)
+    Gp[:K] = G
+    return Gp.reshape(n_seq, C, G.shape[1])
 
 
 def decode_seq_sharded(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
@@ -54,37 +140,31 @@ def _decode_seq_sharded_scan(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
     KT = K + 3
     C = _round_up(KT, n_seq) // n_seq          # trellis chunk per shard
     KTp = C * n_seq
-    perm = jnp.asarray(cfg.perm())
-    inv = jnp.asarray(cfg.inv())
+    perm = np.asarray(cfg.perm())
+    ext = np.arange(K, KTp, dtype=np.int64)
+    perm_e = np.concatenate([perm.astype(np.int64), ext])
+    inv_e = np.concatenate([np.asarray(cfg.inv()).astype(np.int64), ext])
+    xch_perm = make_exchange(perm_e, C, n_seq)
+    xch_inv = make_exchange(inv_e, C, n_seq)
     scale = cfg.resolved_ext_scale()
-    G = make_crc_matrix(K, cfg.crc_poly) if cfg.early_term == "crc" else None
+    G_chunks = (jnp.asarray(_chunked_crc_matrix(K, cfg.crc_poly, C, n_seq))
+                if cfg.early_term == "crc" else None)
 
     fwd = [(i, (i + 1) % n_seq) for i in range(n_seq)]
     bwd = [((i + 1) % n_seq, i) for i in range(n_seq)]
 
-    def siso_chunk(ls_f, lp_f, la_full, a_in, b_in, j):
-        """One shard's SISO over steps [j*C, j*C + C) of the padded trellis.
+    def siso_chunk(ls_c, lp_c, la_c, a_in, b_in, j):
+        """One shard's SISO over its C steps with NII boundary metrics.
 
-        ls_f/lp_f: (B, KTp) replicated full streams; la_full: (B, K).
-        a_in/b_in: (B, 8) NII boundaries from neighbors.  Returns
-        (le_chunk (B, C), alpha_out, beta_out).
-        """
-        start = j * C
-        ls_c = jax.lax.dynamic_slice_in_dim(ls_f, start, C, 1)
-        lp_c = jax.lax.dynamic_slice_in_dim(lp_f, start, C, 1)
-        la_f = jnp.pad(la_full, ((0, 0), (0, KTp - K)))
-        la_c = jax.lax.dynamic_slice_in_dim(la_f, start, C, 1)
+        ls_c/lp_c/la_c: (B, C) chunk-local streams.  Returns
+        (le_chunk (B, C), alpha_out, beta_out)."""
+        B = ls_c.shape[0]
         e0 = jnp.full((N_STATES,), NEG, ls_c.dtype).at[0].set(0.0)
-        is_first = j == 0
-        is_last = j == n_seq - 1
-        a0 = jnp.where(is_first, e0[None, :], a_in)
-        bT = jnp.where(is_last, e0[None, :], b_in)
+        a0 = jnp.where(j == 0, e0[None, :], a_in)
+        bT = jnp.where(j == n_seq - 1, e0[None, :], b_in)
         _, le, a_out, b_out = siso_scan_boundary(ls_c, lp_c, la_c, a0, bT,
                                                  cfg.mode)
         return le, a_out, b_out
-
-    def pad_stream(x, value=0.0):
-        return jnp.pad(x, ((0, 0), (0, KTp - KT)), constant_values=value)
 
     spec_b = P(("data",), None)
 
@@ -94,20 +174,29 @@ def _decode_seq_sharded_scan(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
         in_specs=(spec_b,) * 5,
         out_specs=(spec_b, P(("data",)), spec_b), check_vma=False)
     def decode(ls, lp1, lp2, t1, t2):
+        from ..siso.windowed import BIG
         B = ls.shape[0]
         j = jax.lax.axis_index("seq")
 
-        # Known-0 padding beyond the real trellis (state-0 fixed point).
-        ls1 = pad_stream(jnp.concatenate([ls, t1[:, 0::2]], 1), BIG)
-        lp1f = pad_stream(jnp.concatenate([lp1, t1[:, 1::2]], 1))
-        ls2 = pad_stream(jnp.concatenate([ls[:, perm], t2[:, 0::2]], 1), BIG)
-        lp2f = pad_stream(jnp.concatenate([lp2, t2[:, 1::2]], 1))
+        def pad_stream(x, value=0.0):
+            return jnp.pad(x, ((0, 0), (0, KTp - KT)), constant_values=value)
+
+        def chunk(x):
+            return jax.lax.dynamic_slice_in_dim(x, j * C, C, 1)
+
+        # Known-0 padding beyond the real trellis (state-0 fixed point);
+        # streams are chunked ONCE -- per-iteration tensors are chunk-local.
+        ls1 = chunk(pad_stream(jnp.concatenate([ls, t1[:, 0::2]], 1), BIG))
+        lp1f = chunk(pad_stream(jnp.concatenate([lp1, t1[:, 1::2]], 1)))
+        ls2 = chunk(pad_stream(jnp.concatenate([ls[:, perm], t2[:, 0::2]], 1),
+                               BIG))
+        lp2f = chunk(pad_stream(jnp.concatenate([lp2, t2[:, 1::2]], 1)))
+        ls_c = chunk(pad_stream(ls))          # raw systematic for L
 
         uni = jnp.zeros((B, N_STATES), ls.dtype)
-
-        def gather_le(le_chunk):
-            le_all = jax.lax.all_gather(le_chunk, "seq", axis=1, tiled=True)
-            return le_all[:, :K]
+        # Extrinsics beyond row K are meaningless; zero them so exchanged
+        # a-priori at pad steps is 0 (real_mask is this shard's rows < K).
+        real_mask = ((j * C + jnp.arange(C)) < K)[None, :]
 
         def exchange(a_out, b_out):
             a_in = jax.lax.ppermute(a_out, "seq", fwd)
@@ -115,53 +204,66 @@ def _decode_seq_sharded_scan(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             return a_in, b_in
 
         def cond(carry):
-            (it, le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters,
-             undone_g) = carry
+            it = carry[0]
+            undone_g = carry[-1]
             return (it < cfg.n_iters) & (undone_g > 0)
 
         def body(carry):
             (it, le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters,
              _) = carry
             le1_c, a1o, b1o = siso_chunk(ls1, lp1f, le21, a1, b1, j)
-            le1 = gather_le(le1_c) * scale
-            le2_c, a2o, b2o = siso_chunk(ls2, lp2f, le1[:, perm], a2, b2, j)
-            le2 = gather_le(le2_c) * scale
-            le21_new = le2[:, inv]
-            L_new = ls + le1 + le21_new
+            le1 = jnp.where(real_mask, le1_c * scale, 0.0)
+            le2_c, a2o, b2o = siso_chunk(ls2, lp2f, xch_perm(le1, j),
+                                         a2, b2, j)
+            le2 = jnp.where(real_mask, le2_c * scale, 0.0)
+            le21_new = xch_inv(le2, j)
+            L_new = ls_c + le1 + le21_new          # rows >= K are junk
             hard_new = (L_new < 0).astype(jnp.int8)
             a1n, b1n = exchange(a1o, b1o)
             a2n, b2n = exchange(a2o, b2o)
 
             if cfg.early_term == "crc":
-                newly_done = crc_ok_batch(hard_new, G)
+                # Partial syndrome on local rows; GF(2) linearity makes the
+                # psum over 'seq' the full-block syndrome (24 floats/cw).
+                G_loc = jnp.take(G_chunks, j, axis=0)        # (C, 24)
+                synd = jax.lax.psum(
+                    jnp.dot(hard_new.astype(jnp.float32), G_loc,
+                            preferred_element_type=jnp.float32), "seq")
+                newly_done = jnp.all(synd % 2.0 == 0.0, axis=-1)
             elif cfg.early_term == "sign":
-                newly_done = jnp.all(hard_new == hard_prev, axis=1)
+                agree = jnp.all((hard_new == hard_prev) | ~real_mask, axis=1)
+                newly_done = jax.lax.psum(
+                    agree.astype(jnp.int32), "seq") == n_seq
             else:
                 newly_done = jnp.zeros((B,), bool)
+
+            # Freeze converged codewords branchlessly.
             keep = done[:, None]
             le21 = jnp.where(keep, le21, le21_new)
             L = jnp.where(keep, L_prev, L_new)
             hard = jnp.where(keep, hard_prev, hard_new)
             iters = iters + (~done).astype(jnp.int32)
             done = done | newly_done
-            # Early exit must be GLOBAL: 'seq' shards agree by construction
-            # (they compute identical full-batch decisions), but 'data'
-            # shards hold different codewords, and a shard that exits the
-            # while_loop early stops feeding its row's collectives -- the
-            # XLA:CPU in-process communicator then deadlocks (and trip
-            # counts must match on any backend for safety).  One scalar
-            # psum per iteration buys lockstep exit.
+            # Early exit must be GLOBAL: 'data' shards hold different
+            # codewords, and a shard that exits the while_loop early stops
+            # feeding its row's collectives -- the XLA:CPU in-process
+            # communicator then deadlocks (and trip counts must match on
+            # any backend for safety).  One scalar psum buys lockstep exit.
             undone_g = jax.lax.psum(
                 jnp.sum((~done).astype(jnp.int32)), "data")
             return (it + 1, le21, a1n, b1n, a2n, b2n, L, hard, done, iters,
                     undone_g)
 
-        init = (jnp.int32(0), jnp.zeros((B, K), ls.dtype), uni, uni, uni, uni,
-                jnp.zeros((B, K), ls.dtype), jnp.zeros((B, K), jnp.int8),
+        zC = jnp.zeros((B, C), ls.dtype)
+        init = (jnp.int32(0), zC, uni, uni, uni, uni,
+                zC, jnp.zeros((B, C), jnp.int8),
                 jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32),
                 jnp.int32(1))
         out = jax.lax.while_loop(cond, body, init)
-        (_, _, _, _, _, _, L, hard, done, iters, _) = out
+        (_, _, _, _, _, _, L_c, hard_c, done, iters, _) = out
+        # One assembly gather at the very end (not per half-iteration).
+        hard = jax.lax.all_gather(hard_c, "seq", axis=1, tiled=True)[:, :K]
+        L = jax.lax.all_gather(L_c, "seq", axis=1, tiled=True)[:, :K]
         return hard, iters, L
 
     return decode
@@ -172,12 +274,11 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
 
     Each 'seq' shard runs the fused gamma/alpha/beta/LLR window kernel
     (siso/pallas_kernel.py, boundary mode) over its trellis chunk, keeping
-    every per-iteration tensor in the kernel's native (cells, T, 8, 128)
-    layout; NII boundary alpha/beta metrics ride `lax.ppermute` to the
-    neighbor shard each half-iteration exactly as in the scan path.  The
-    chunk recursion runs at kernel speed instead of lax.scan speed:
-    1.56 Gbit/s/chip at a 1x1 mesh (RESULTS.md C5), parity with the
-    monolithic kernel path.
+    every per-iteration tensor CHUNK-LOCAL in the kernel's native
+    (cells, C, 8, 128) layout; NII boundary alpha/beta metrics ride
+    `lax.ppermute` to the neighbor shard and extrinsics move through the
+    partitioned all_to_all exchange each half-iteration.  The chunk
+    recursion runs at kernel speed instead of lax.scan speed.
     """
     from ..siso.pallas_kernel import (BIG as PBIG, CELL, from_cells,
                                       siso_cells, to_cells)
@@ -192,16 +293,14 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
     C = _round_up(c0, 8) if c0 <= 248 else _round_up(c0, 128)
     KTp = C * n_seq
     perm = np.asarray(cfg.perm())
-    ext = np.arange(K, KTp, dtype=np.int32)
-    perm_e = jnp.asarray(np.concatenate([perm.astype(np.int32), ext]))
-    inv_e = jnp.asarray(
-        np.concatenate([np.asarray(cfg.inv()).astype(np.int32), ext]))
+    ext = np.arange(K, KTp, dtype=np.int64)
+    perm_e = np.concatenate([perm.astype(np.int64), ext])
+    inv_e = np.concatenate([np.asarray(cfg.inv()).astype(np.int64), ext])
+    xch_perm = make_exchange(perm_e, C, n_seq)
+    xch_inv = make_exchange(inv_e, C, n_seq)
     scale = cfg.resolved_ext_scale()
-    if cfg.early_term == "crc":
-        from ..decoder.early_term import _crc_check_matrix_np
-        G_np = _crc_check_matrix_np(K, cfg.crc_poly)
-    else:
-        G_np = None
+    G_chunks_np = (_chunked_crc_matrix(K, cfg.crc_poly, C, n_seq)
+                   if cfg.early_term == "crc" else None)
 
     fwd = [(i, (i + 1) % n_seq) for i in range(n_seq)]
     bwd = [((i + 1) % n_seq, i) for i in range(n_seq)]
@@ -219,12 +318,16 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
         dt = jnp.dtype(cfg.io_dtype)  # LLR/extrinsic HBM dtype
         padb = lambda x: jnp.pad(x.astype(dt), ((0, Bp - B), (0, 0)))
 
+        def chunk(x):
+            return jax.lax.dynamic_slice_in_dim(x, j * C, C, 1)
+
         def stream(body_, tail, pad_val):
             full = jnp.concatenate([body_, tail], axis=1)
             full = jnp.pad(full, ((0, 0), (0, KTp - KT)),
                            constant_values=pad_val)
-            return to_cells(padb(full))
+            return chunk(to_cells(padb(full)))
 
+        # Chunk-local channel streams, built once.
         ls1_c = stream(ls, t1[:, 0::2], PBIG)
         lp1_c = stream(lp1, t1[:, 1::2], 0.0)
         ls2_c = stream(ls[:, perm], t2[:, 0::2], PBIG)
@@ -235,33 +338,28 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             [jnp.zeros((n_cells, 1, 8, 128), jnp.float32),
              jnp.full((n_cells, 7, 8, 128), -PBIG, jnp.float32)], axis=1)
         uni = jnp.zeros((n_cells, 8, 8, 128), jnp.float32)
-        G = jnp.asarray(G_np) if G_np is not None else None
+        G_chunks = (jnp.asarray(G_chunks_np) if G_chunks_np is not None
+                    else None)
+        # Rows with global index >= K carry +-BIG pad-step garbage
+        # extrinsics; zero them so exchanged a-priori stays 0 there.
+        real_mask = ((j * C + jnp.arange(C)) < K)[None, :, None, None]
 
-        def chunk(x):
-            return jax.lax.dynamic_slice_in_dim(x, j * C, C, 1)
-
-        def siso_chunk(ls_c, lp_c, la_full, a_in, b_in):
+        def siso_chunk(ls_c, lp_c, la_c, a_in, b_in):
             a0 = jnp.where(j == 0, e0, a_in)
             bT = jnp.where(j == n_seq - 1, e0, b_in)
             le_c, a_out, b_out = siso_cells(
-                chunk(ls_c), chunk(lp_c), chunk(la_full), C, cfg.mode, scale,
+                ls_c, lp_c, la_c, C, cfg.mode, scale,
                 boundaries=(a0, bT))
-            le_full = jax.lax.all_gather(le_c, "seq", axis=1, tiled=True)
-            # A-priori rows beyond K must be zero before the next SISO: the
-            # chunk kernel cannot mask by global position (K_real is
-            # per-chunk), and pad-step extrinsics are +-BIG garbage.  Zero
-            # just the KTp-K tail rows rather than a full-tensor multiply.
-            le_full = jax.lax.dynamic_update_slice_in_dim(
-                le_full, jnp.zeros((n_cells, KTp - K, 8, 128), dt), K, 1)
-            return le_full, a_out, b_out
+            le_c = jnp.where(real_mask, le_c, jnp.zeros((), dt))
+            return le_c, a_out, b_out
 
         def exchange(a_out, b_out):
             return (jax.lax.ppermute(a_out, "seq", fwd),
                     jax.lax.ppermute(b_out, "seq", bwd))
 
         def cond(carry):
-            (it, le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters,
-             undone_g) = carry
+            it = carry[0]
+            undone_g = carry[-1]
             return (it < cfg.n_iters) & (undone_g > 0)
 
         def body(carry):
@@ -270,24 +368,29 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             # Extrinsics stay unscaled; the kernel applies `scale` to its
             # a-priori input, exactly as in decoder/turbo_cells.py.
             le1, a1o, b1o = siso_chunk(ls1_c, lp1_c, le21, a1, b1)
-            le2, a2o, b2o = siso_chunk(ls2_c, lp2_c, le1[:, perm_e], a2, b2)
-            le21_new = le2[:, inv_e]
+            le2, a2o, b2o = siso_chunk(ls2_c, lp2_c, xch_perm(le1, j),
+                                       a2, b2)
+            le21_new = xch_inv(le2, j)
             f32 = jnp.float32
-            L_new = (ls1_c[:, :K].astype(f32)
-                     + scale * (le1[:, :K].astype(f32)
-                                + le21_new[:, :K].astype(f32)))
+            L_new = (ls1_c.astype(f32)
+                     + scale * (le1.astype(f32) + le21_new.astype(f32)))
             hard_new = (L_new < 0).astype(jnp.int8)
             a1n, b1n = exchange(a1o, b1o)
             a2n, b2n = exchange(a2o, b2o)
 
             if cfg.early_term == "crc":
-                synd = jax.lax.dot_general(
-                    hard_new.astype(jnp.float32), G,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                newly_done = jnp.all(synd % 2.0 == 0.0, axis=-1)
+                # Shard-local partial syndrome, psum'd over 'seq' (GF(2)
+                # linearity): (cells, 24, 8, 128) replaces a K-row gather.
+                G_loc = jnp.take(G_chunks, j, axis=0)         # (C, 24)
+                synd = jax.lax.psum(jnp.einsum(
+                    "nchw,ck->nkhw", hard_new.astype(jnp.float32), G_loc,
+                    preferred_element_type=jnp.float32), "seq")
+                newly_done = jnp.all(synd % 2.0 == 0.0, axis=1)
             elif cfg.early_term == "sign":
-                newly_done = jnp.all(hard_new == hard_prev, axis=1)
+                agree = jnp.all((hard_new == hard_prev)
+                                | ~real_mask, axis=1)
+                newly_done = jax.lax.psum(
+                    agree.astype(jnp.int32), "seq") == n_seq
             else:
                 newly_done = jnp.zeros((n_cells, 8, 128), bool)
             keep = done[:, None]
@@ -305,17 +408,20 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
                     undone_g)
 
         init = (jnp.int32(0),
-                jnp.zeros((n_cells, KTp, 8, 128), dt),
+                jnp.zeros((n_cells, C, 8, 128), dt),
                 uni, uni, uni, uni,
-                jnp.zeros((n_cells, K, 8, 128), jnp.float32),
-                jnp.zeros((n_cells, K, 8, 128), jnp.int8),
+                jnp.zeros((n_cells, C, 8, 128), jnp.float32),
+                jnp.zeros((n_cells, C, 8, 128), jnp.int8),
                 jnp.zeros((n_cells, 8, 128), bool),
                 jnp.zeros((n_cells, 8, 128), jnp.int32),
                 jnp.int32(1))
         out = jax.lax.while_loop(cond, body, init)
-        (_, _, _, _, _, _, L, hard, done, iters, _) = out
-        hard_b = from_cells(hard)[:B]
-        L_b = from_cells(L)[:B]
+        (_, _, _, _, _, _, L_c, hard_c, done, iters, _) = out
+        # Single assembly gather after the loop.
+        hard = jax.lax.all_gather(hard_c, "seq", axis=1, tiled=True)
+        L = jax.lax.all_gather(L_c, "seq", axis=1, tiled=True)
+        hard_b = from_cells(hard)[:B, :K]
+        L_b = from_cells(L)[:B, :K]
         iters_b = iters.reshape(n_cells * CELL)[:B]
         return hard_b, iters_b, L_b
 
