@@ -59,7 +59,73 @@ print("RESULT2", proc_id, int(bit2), int(frame2), flush=True)
 """
 
 
-@pytest.mark.slow
+# Sweep worker for the supervised-relaunch test: a 2-process group where
+# process 1 SIGKILLs ITSELF (exact own PID) after the first grid point on
+# the first group launch only (marker file), simulating a host loss.
+_SWEEP_WORKER = r"""
+import os, pathlib, signal, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+proc_id = int(sys.argv[1])
+results = sys.argv[2]
+marker = pathlib.Path(sys.argv[3])
+port = sys.argv[4]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=2, process_id=proc_id)
+from turbotpu.decoder.turbo import DecoderConfig
+from turbotpu.harness.ber import SimConfig, simulate_ber, simulate_point, make_step
+
+cfg = SimConfig(name="sup", K=40, B=8, ebn0_db_grid=(8.0, 9.0, 10.0, 11.0),
+                decoder=DecoderConfig(K=40, n_iters=2), use_crc=False,
+                min_frame_errors=1, max_frames=16, seed=3)
+# Each process runs the (tiny) sweep; process 0 owns the results file.
+step = make_step(cfg)
+import json, pathlib as pl
+done = set()
+p = pl.Path(results)
+if p.exists():
+    for line in p.read_text().splitlines():
+        try: done.add(json.loads(line)["ebn0_db"])
+        except Exception: pass
+for i, ebn0 in enumerate(cfg.ebn0_db_grid):
+    if float(ebn0) in done:
+        continue
+    rec = simulate_point(cfg, float(ebn0), step)
+    if proc_id == 0:
+        with p.open("a") as f:
+            f.write(json.dumps(rec) + "\n")
+    if proc_id == 1 and i == 0 and not marker.exists():
+        marker.write_text("died once")
+        os.kill(os.getpid(), signal.SIGKILL)   # exact own PID
+"""
+
+
+def test_supervised_group_relaunch(tmp_path):
+    """VERDICT item 10: kill one member of a 2-process sweep group mid-run;
+    the supervisor fails fast, kills the survivor by exact PID, relaunches
+    the group, and the sweep completes from the JSONL checkpoint."""
+    from turbotpu.harness.supervisor import supervise
+    worker = tmp_path / "sweep.py"
+    worker.write_text(_SWEEP_WORKER)
+    results = tmp_path / "r.jsonl"
+    marker = tmp_path / "fault_injected"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(pathlib.Path(__file__).parents[2]) + os.pathsep + \
+        env.get("PYTHONPATH", "")
+    argvs = [[sys.executable, str(worker), str(i), str(results),
+              str(marker), "19773"] for i in range(2)]
+    restarts = supervise(argvs, max_restarts=2, env=env,
+                         results_path=str(results), verbose=False)
+    assert restarts == 1, restarts
+    assert marker.exists()
+    lines = results.read_text().splitlines()
+    import json
+    pts = {json.loads(l)["ebn0_db"] for l in lines}
+    assert pts == {8.0, 9.0, 10.0, 11.0}
+
+
 def test_two_process_localhost(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)

@@ -43,6 +43,106 @@ def test_decoders_match(K, mode):
     np.testing.assert_allclose(L1, L2, atol=1e-9)
 
 
+@pytest.mark.parametrize("K", [512])
+def test_decoders_match_k512(K):
+    # SURVEY section 5 golden tests name K in {40, 512, 6144}; 512 runs in
+    # the fast suite, 6144 lives in the slow full-chain test below.
+    bits, perm, inv, p = _noisy_llrs(K, seed=5)
+    h1, _, L1 = numpy_ref.turbo_decode(*p, perm, inv, n_iters=2)
+    h2, _, L2 = cpp_ref.turbo_decode(*p, perm, inv, n_iters=2)
+    assert (h1 == h2).all()
+    np.testing.assert_allclose(L1, L2, atol=1e-9)
+
+
+def test_crc_early_termination_matches_numpy():
+    from turbotpu.spec.crc import CRC24A_POLY, crc_attach
+    K = 104
+    rng = np.random.default_rng(11)
+    bits = crc_attach(rng.integers(0, 2, K - 24).astype(np.int8),
+                      CRC24A_POLY)
+    perm, inv = qpp_perm(K), qpp_inv(K)
+    parts = numpy_ref.turbo_encode(bits, perm)
+    enc = np.concatenate(parts).astype(np.float64)
+    sigma = np.sqrt(1 / (2 * 10 ** (3.0 / 10) / 3))
+    y = (1 - 2 * enc) + sigma * rng.normal(size=enc.shape)
+    llr = 2 * y / sigma ** 2
+    ofs = np.cumsum([0, K, K, K, 6, 6])
+    p = [llr[ofs[i]:ofs[i + 1]] for i in range(5)]
+    h1, it1, _ = numpy_ref.turbo_decode(*p, perm, inv, n_iters=8,
+                                        crc_poly=CRC24A_POLY)
+    h2, it2, _ = cpp_ref.turbo_decode(*p, perm, inv, n_iters=8,
+                                      crc_poly=CRC24A_POLY)
+    assert (h1 == h2).all() and (h1 == bits).all()
+    assert it1 == it2 < 8  # early exit engaged, same iteration
+
+
+def test_cpp_crc_check_matches_spec():
+    from turbotpu.spec import crc as crc_mod
+    rng = np.random.default_rng(12)
+    for poly in (crc_mod.CRC24A_POLY, crc_mod.CRC24B_POLY):
+        bits = rng.integers(0, 2, 100).astype(np.int8)
+        ok = crc_mod.crc_attach(bits, poly)
+        assert cpp_ref.crc_check(ok, poly)
+        bad = ok.copy()
+        bad[3] ^= 1
+        assert not cpp_ref.crc_check(bad, poly)
+
+
+def test_umts_mux_demux_match_numpy():
+    K = 80
+    rng = np.random.default_rng(13)
+    bits = rng.integers(0, 2, K).astype(np.int8)
+    parts = numpy_ref.turbo_encode(bits, umts_perm(K))
+    w_np = numpy_ref.umts_mux(*parts).astype(np.float64)
+    w_cc = cpp_ref.umts_mux(*parts)
+    np.testing.assert_array_equal(w_np, w_cc)
+    got = cpp_ref.umts_demux(w_cc)
+    for a, b in zip(parts, got):
+        np.testing.assert_array_equal(a.astype(np.float64), b)
+
+
+@pytest.mark.slow
+def test_full_chain_equivalence_k6144():
+    """SURVEY section 5: K=6144 full-chain golden comparison across ALL
+    implementations -- numpy fp64, C++ fp64, JAX scan fp32, Pallas fused
+    kernel (fp32 and bfloat16 I/O) -- at 6144 the fp32 renorm cadence and
+    bf16 I/O must still track the fp64 golden."""
+    import jax.numpy as jnp
+    from turbotpu.decoder.turbo import DecoderConfig, turbo_decode
+
+    K = 6144
+    n_iters = 2
+    bits, perm, inv, p = _noisy_llrs(K, seed=8, ebn0_db=1.2)
+    h_np, _, L_np = numpy_ref.turbo_decode(*p, perm, inv, n_iters=n_iters)
+    h_cc, _, L_cc = cpp_ref.turbo_decode(*p, perm, inv, n_iters=n_iters)
+    # fp64 vs fp64: tight.
+    assert (h_np == h_cc).all()
+    np.testing.assert_allclose(L_np, L_cc, atol=1e-9)
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)[None]
+    h_jx, _, L_jx = turbo_decode(*[f32(x) for x in p],
+                                 DecoderConfig(K=K, n_iters=n_iters))
+    # fp32 scan vs fp64 golden: LLR magnitudes at this SNR are O(10-100);
+    # fp32 accumulation over 6147 steps tracks to ~1e-2 relative.
+    assert (np.asarray(h_jx)[0] == h_np).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(L_jx)[0], L_np,
+                               rtol=2e-2, atol=0.35)
+
+    h_pl, _, L_pl = turbo_decode(
+        *[f32(x) for x in p],
+        DecoderConfig(K=K, n_iters=n_iters, siso="pallas"))
+    assert (np.asarray(h_pl)[0] == h_np).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(L_pl)[0], L_np,
+                               rtol=2e-2, atol=0.35)
+
+    h_bf, _, _ = turbo_decode(
+        *[f32(x) for x in p],
+        DecoderConfig(K=K, n_iters=n_iters, siso="pallas",
+                      io_dtype="bfloat16"))
+    # bf16 LLR I/O: hard decisions still track the fp64 golden.
+    assert (np.asarray(h_bf)[0] == h_np).mean() > 0.995
+
+
 def test_noiseless_roundtrip_umts():
     K = 80
     rng = np.random.default_rng(7)

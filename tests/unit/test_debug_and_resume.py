@@ -94,7 +94,6 @@ simulate_ber(cfg, results_path=sys.argv[1], verbose=False)
 """
 
 
-@pytest.mark.slow
 def test_process_kill_resume(tmp_path):
     """Hard fault injection (SURVEY.md section 6): SIGKILL a sweep process
     mid-grid by exact PID, re-launch, and assert the survivor resumes from

@@ -87,6 +87,22 @@ def main(argv=None):
     sc.add_argument("--siso", default="pallas")
     sc.add_argument("--devices", type=int, nargs="+", default=None)
 
+    sup = sub.add_parser(
+        "supervise",
+        help="run a turbotpu command under the failure-recovery supervisor: "
+             "relaunch on crash or results-file stall, resuming from the "
+             "JSONL checkpoint (SURVEY.md section 6)")
+    sup.add_argument("--max-restarts", type=int, default=3)
+    sup.add_argument("--stall-timeout", type=float, default=None,
+                     help="seconds without results-file growth before the "
+                          "run is declared hung and relaunched")
+    sup.add_argument("--results", default="results/ber.jsonl",
+                     help="results file watched for progress (must match "
+                          "the wrapped command's --results)")
+    sup.add_argument("rest", nargs=argparse.REMAINDER,
+                     help="the turbotpu command to supervise, e.g. "
+                          "supervise -- ber --config c4")
+
     c5 = sub.add_parser("c5", help="C5 acceptance: sharded batch decode "
                         "with windowed BCJR + boundary collectives")
     _add_common(c5)
@@ -101,7 +117,7 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
 
-    if args.platform:
+    if getattr(args, "platform", None):
         import jax
         jax.config.update("jax_platforms", args.platform)
 
@@ -157,6 +173,18 @@ def main(argv=None):
                             siso=args.siso)
         for rec in bench_scaling(cfg, args.per_device_batch, args.devices):
             print(json.dumps(rec))
+        return 0
+
+    if args.cmd == "supervise":
+        from turbotpu.harness.supervisor import supervise
+        rest = [a for a in args.rest if a != "--"]
+        if not rest:
+            ap.error("supervise needs a command after --")
+        argv_child = [sys.executable, "-m", "turbotpu.cli"] + rest
+        restarts = supervise([argv_child], max_restarts=args.max_restarts,
+                             stall_timeout_s=args.stall_timeout,
+                             results_path=args.results)
+        print(json.dumps({"restarts": restarts, "ok": True}))
         return 0
 
     if args.cmd == "c5":

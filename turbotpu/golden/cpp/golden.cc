@@ -139,13 +139,62 @@ void ttpu_bcjr_siso(const double* ls, const double* lp, const double* la,
   }
 }
 
+// CRC-24 check (TS 36.212 s5.1.1): MSB-first division, init 0, no final
+// XOR.  Returns 1 iff the trailing 24 bits of bits[0..n) are the CRC of
+// the leading n-24.
+int ttpu_crc_check(const int8_t* bits, int n, uint32_t poly) {
+  if (n <= 24) return 0;
+  uint32_t reg = 0;
+  for (int i = 0; i < n - 24; ++i) {
+    reg = ((reg << 1) | static_cast<uint32_t>(bits[i])) & 0x1FFFFFFu;
+    if (reg >> 24) reg ^= (1u << 24) | poly;
+  }
+  for (int i = 0; i < 24; ++i) {
+    reg = (reg << 1) & 0x1FFFFFFu;
+    if (reg >> 24) reg ^= (1u << 24) | poly;
+  }
+  for (int i = 0; i < 24; ++i) {
+    if (static_cast<int>((reg >> (23 - i)) & 1u) != bits[n - 24 + i]) return 0;
+  }
+  return 1;
+}
+
+// UMTS wire order (TS 25.212 s4.2.3.1): x1 z1 z'1 x2 z2 z'2 ... then the
+// 12 tail bits x_K+1 z_K+1 ... x'_K+3 z'_K+3.  Generic over double so it
+// serves both bit (cast) and LLR streams; length 3K + 12.
+void ttpu_umts_mux(const double* sys, const double* par1, const double* par2,
+                   const double* tail1, const double* tail2, int K,
+                   double* wire) {
+  for (int k = 0; k < K; ++k) {
+    wire[3 * k] = sys[k];
+    wire[3 * k + 1] = par1[k];
+    wire[3 * k + 2] = par2[k];
+  }
+  for (int i = 0; i < 6; ++i) wire[3 * K + i] = tail1[i];
+  for (int i = 0; i < 6; ++i) wire[3 * K + 6 + i] = tail2[i];
+}
+
+void ttpu_umts_demux(const double* wire, int K, double* sys, double* par1,
+                     double* par2, double* tail1, double* tail2) {
+  for (int k = 0; k < K; ++k) {
+    sys[k] = wire[3 * k];
+    par1[k] = wire[3 * k + 1];
+    par2[k] = wire[3 * k + 2];
+  }
+  for (int i = 0; i < 6; ++i) tail1[i] = wire[3 * K + i];
+  for (int i = 0; i < 6; ++i) tail2[i] = wire[3 * K + 6 + i];
+}
+
 // Full turbo decode, canonical-format LLRs.  Returns iterations run.
 // tail1/tail2 layout: (x_K, z_K, x_K+1, z_K+1, x_K+2, z_K+2) per encoder.
+// crc_poly != 0 enables CRC early termination: after each full iteration
+// the hard decision is CRC-checked and decoding stops on success
+// (component 20 parity with numpy_ref.turbo_decode).
 int ttpu_turbo_decode(const double* ls, const double* lp1, const double* lp2,
                       const double* tail1, const double* tail2,
                       const int32_t* perm, const int32_t* inv, int K,
                       int n_iters, int maxlog, double ext_scale,
-                      int8_t* hard, double* L_out) {
+                      uint32_t crc_poly, int8_t* hard, double* L_out) {
   std::vector<double> ls1(static_cast<size_t>(K + 3)), lp1f(static_cast<size_t>(K + 3));
   std::vector<double> ls2(static_cast<size_t>(K + 3)), lp2f(static_cast<size_t>(K + 3));
   for (int k = 0; k < K; ++k) {
@@ -173,6 +222,13 @@ int ttpu_turbo_decode(const double* ls, const double* lp1, const double* lp2,
     for (int k = 0; k < K; ++k) le2[static_cast<size_t>(k)] *= ext_scale;
     for (int k = 0; k < K; ++k) le21[static_cast<size_t>(k)] = le2[static_cast<size_t>(inv[k])];
     for (int k = 0; k < K; ++k) L[static_cast<size_t>(k)] = ls[k] + le1[static_cast<size_t>(k)] + le21[static_cast<size_t>(k)];
+    if (crc_poly != 0) {
+      for (int k = 0; k < K; ++k) hard[k] = L[static_cast<size_t>(k)] < 0 ? 1 : 0;
+      if (ttpu_crc_check(hard, K, crc_poly)) {
+        if (L_out) for (int k = 0; k < K; ++k) L_out[k] = L[static_cast<size_t>(k)];
+        return it;
+      }
+    }
   }
   for (int k = 0; k < K; ++k) {
     hard[k] = L[static_cast<size_t>(k)] < 0 ? 1 : 0;

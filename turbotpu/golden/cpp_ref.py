@@ -32,8 +32,13 @@ def _get_lib() -> ctypes.CDLL:
     lib.ttpu_bcjr_siso.argtypes = [_f64p, _f64p, _f64p, ctypes.c_int, ctypes.c_int, _f64p, _f64p]
     lib.ttpu_turbo_decode.argtypes = [
         _f64p, _f64p, _f64p, _f64p, _f64p, _i32p, _i32p,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double, _i8p, _f64p]
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_uint32, _i8p, _f64p]
     lib.ttpu_turbo_decode.restype = ctypes.c_int
+    lib.ttpu_crc_check.argtypes = [_i8p, ctypes.c_int, ctypes.c_uint32]
+    lib.ttpu_crc_check.restype = ctypes.c_int
+    lib.ttpu_umts_mux.argtypes = [_f64p] * 5 + [ctypes.c_int, _f64p]
+    lib.ttpu_umts_demux.argtypes = [_f64p, ctypes.c_int] + [_f64p] * 5
     _lib = lib
     return lib
 
@@ -65,7 +70,10 @@ def bcjr_siso(ls, lp, la, mode: str = "logmap"):
 
 
 def turbo_decode(ls, lp1, lp2, tail1, tail2, perm, inv,
-                 n_iters: int = 8, mode: str = "logmap", ext_scale: float = 1.0):
+                 n_iters: int = 8, mode: str = "logmap",
+                 ext_scale: float = 1.0, crc_poly: int | None = None):
+    """Full decode; crc_poly enables CRC early termination (parity with
+    numpy_ref.turbo_decode)."""
     lib = _get_lib()
     c = lambda a: np.ascontiguousarray(a, dtype=np.float64)
     K = len(ls)
@@ -74,5 +82,32 @@ def turbo_decode(ls, lp1, lp2, tail1, tail2, perm, inv,
     it = lib.ttpu_turbo_decode(
         c(ls), c(lp1), c(lp2), c(tail1), c(tail2),
         np.ascontiguousarray(perm, np.int32), np.ascontiguousarray(inv, np.int32),
-        K, n_iters, int(mode == "maxlog"), float(ext_scale), hard, L)
+        K, n_iters, int(mode == "maxlog"), float(ext_scale),
+        crc_poly or 0, hard, L)
     return hard, it, L
+
+
+def crc_check(bits_with_crc: np.ndarray, poly: int) -> bool:
+    lib = _get_lib()
+    b = np.ascontiguousarray(bits_with_crc, np.int8)
+    return bool(lib.ttpu_crc_check(b, len(b), poly))
+
+
+def umts_mux(sys, par1, par2, tail1, tail2):
+    """Canonical -> UMTS wire order (3K + 12), float64 (bits or LLRs)."""
+    lib = _get_lib()
+    c = lambda a: np.ascontiguousarray(a, dtype=np.float64)
+    K = len(sys)
+    wire = np.empty(3 * K + 12, np.float64)
+    lib.ttpu_umts_mux(c(sys), c(par1), c(par2), c(tail1), c(tail2), K, wire)
+    return wire
+
+
+def umts_demux(wire):
+    lib = _get_lib()
+    wire = np.ascontiguousarray(wire, np.float64)
+    K = (len(wire) - 12) // 3
+    out = [np.empty(K, np.float64) for _ in range(3)] + \
+          [np.empty(6, np.float64) for _ in range(2)]
+    lib.ttpu_umts_demux(wire, K, *out)
+    return tuple(out)
