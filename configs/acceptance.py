@@ -28,8 +28,10 @@ C2 = SimConfig(
 )
 
 # C3: UMTS (prunable interleaver), CRC early termination, mixed block sizes
-# decoded in ONE batch: true sizes K_mix pad to the K=5114 bucket ceiling
-# with known-zero fillers (one compiled shape, per-codeword masks).
+# decoded in ONE batch: each codeword is a TRUE K_mix[i]-size codeword
+# (own interleaver, own 3K+12 transmission, per-K Eb/N0 accounting),
+# embedded into the K=5114 bucket with leading known-filler LLRs and
+# decoded through per-codeword permutation tables (one compiled shape).
 C3_SIZES = (320, 1280, 5114)
 C3 = SimConfig(
     name="c3_umts_mixed",

@@ -52,9 +52,10 @@ def test_harq_rv_sequence_step_runs_and_gains():
 
 
 def test_mixed_k_pad_to_bucket():
-    """K_mix batch: true sizes (40, 72, 104) padded to the K=104 bucket,
-    decoded in one call; error-free at high SNR and BER accounting uses
-    true (non-filler) bits only."""
+    """K_mix batch: TRUE codewords of sizes (40, 72, 104), each with its
+    own interleaver and mother-rate length, embedded into the K=104 bucket
+    and decoded in one call; error-free at high SNR and BER accounting
+    uses true (non-filler) bits only."""
     cfg = _fast_cfg(K=104, K_mix=(40, 72, 104), B=12,
                     decoder=DecoderConfig(K=104, n_iters=3,
                                           early_term="crc"),

@@ -81,6 +81,51 @@ def test_demap_llr_sign_mostly_correct_at_high_snr(m):
     assert ber < 1e-3
 
 
+def _qfunc(x):
+    from math import erfc, sqrt
+    return 0.5 * erfc(x / sqrt(2.0))
+
+
+def test_uncoded_qpsk_awgn_matches_closed_form():
+    """Uncoded Gray QPSK over AWGN: BER = Q(sqrt(2*Eb/N0)) exactly.
+
+    This is the anchor that pins the awgn_complex noise convention (it
+    caught a round-1 bug where complex noise was injected at half power,
+    making every QPSK/QAM curve 3 dB optimistic)."""
+    ebn0_db = 4.0
+    g = 10 ** (ebn0_db / 10)
+    expected = _qfunc(np.sqrt(2 * g))  # 0.0125
+    n = 400_000
+    kb, kc = jax.random.split(jax.random.key(11))
+    bits = jax.random.bernoulli(kb, 0.5, (1, n)).astype(jnp.int8)
+    x = chain.modulate_qpsk(bits)
+    esn0_db = ebn0_db + 10 * np.log10(2)
+    y = chain.awgn_complex(kc, x, esn0_db)
+    ber = float(jnp.mean((chain.demap_qpsk(y, esn0_db) < 0) != (bits == 1)))
+    assert abs(ber - expected) < 6e-4, (ber, expected)  # ~3.4 sigma at n=400k
+
+
+def test_uncoded_qam16_awgn_matches_closed_form():
+    """Uncoded Gray 16QAM over AWGN, exact per-bit BER (per-rail 4-PAM
+    boundary analysis, Cho & Yoon 2002 class of closed forms):
+
+        Pb = 3/4*Q(a) + 1/2*Q(3a) - 1/4*Q(5a),  a = sqrt(0.8*Eb/N0).
+    """
+    ebn0_db = 8.0
+    g = 10 ** (ebn0_db / 10)
+    a = np.sqrt(0.8 * g)
+    expected = 0.75 * _qfunc(a) + 0.5 * _qfunc(3 * a) - 0.25 * _qfunc(5 * a)
+    n_sym = 100_000
+    kb, kc = jax.random.split(jax.random.key(12))
+    bits = jax.random.bernoulli(kb, 0.5, (1, 4 * n_sym)).astype(jnp.int8)
+    x = qam.modulate_qam(bits, 4)
+    esn0_db = ebn0_db + 10 * np.log10(4)
+    y = chain.awgn_complex(kc, x, esn0_db)
+    ber = float(jnp.mean((qam.demap_qam(y, esn0_db, 4) < 0) != (bits == 1)))
+    # ~3700 expected errors -> 3 sigma ~ 4.6e-4; allow approximation slack.
+    assert abs(ber - expected) < 8e-4, (ber, expected)
+
+
 def test_coded_qam16_end_to_end_decodes():
     """Turbo-coded 16QAM through the BER harness beats uncoded easily."""
     from turbotpu.decoder.turbo import DecoderConfig

@@ -50,6 +50,9 @@ def main(argv=None):
     ber.add_argument("--modulation",
                      choices=["bpsk", "qpsk", "qam16", "qam64"],
                      default="bpsk")
+    ber.add_argument("--channel", choices=["awgn", "rayleigh"],
+                     default="awgn",
+                     help="rayleigh = flat per-symbol fading, perfect CSI")
     ber.add_argument("--min-frame-errors", type=int, default=50)
     ber.add_argument("--max-frames", type=int, default=200_000)
     ber.add_argument("--seed", type=int, default=0)
@@ -141,6 +144,7 @@ def main(argv=None):
                               decoder=dec, E=args.E, rv=args.rv,
                               rv_sequence=tuple(args.rv_seq or ()),
                               modulation=args.modulation,
+                              channel=args.channel,
                               use_crc=args.early_term == "crc",
                               min_frame_errors=args.min_frame_errors,
                               max_frames=args.max_frames, seed=args.seed),)

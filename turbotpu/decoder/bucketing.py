@@ -57,6 +57,51 @@ def decode_mixed(codewords: list[dict], base_cfg: DecoderConfig) -> MixedResult:
     return MixedResult(hard=hard, iters=iters, L=L)  # type: ignore[arg-type]
 
 
+def embedded_perm_tables(Ks: list[int] | tuple[int, ...], K_bucket: int,
+                         interleaver: str = "lte"
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-codeword EMBEDDED interleaver tables for TRUE mixed-K decoding.
+
+    A true-K codeword -- transmitted at its own 3K+12 bits with its own
+    TS 36.212 / TS 25.212 interleaver pi_K -- embeds into a K_bucket
+    trellis as F = K_bucket - K leading known-zero filler steps followed
+    by the real code: both constituent encoders idle at state 0 through
+    the fillers (zero input from state 0 keeps an RSC at state 0), and
+    the true tail bits land at the canonical end-of-trellis slots, so a
+    heterogeneous batch decodes in ONE compiled call against one trellis
+    shape.  The embedded permutation is
+
+        phi(j)     = j               for j <  F   (filler <-> filler)
+        phi(F + i) = F + pi_K(i)     for 0 <= i < K
+
+    a bijection on [0, K_bucket).  The receiver marks filler systematic
+    LLRs +BIG (known zero) and filler parity LLRs 0 -- the same
+    known-zero-bit convention the Pallas kernel's tail padding uses.
+
+    Returns (phi (B, K_bucket), phi_inv (B, K_bucket)) int32, one row per
+    codeword, ready to pass to turbo_decode(..., perm_b=, inv_b=).
+    """
+    from ..spec.qpp import qpp_perm
+    from ..spec.umts import umts_perm
+    mk = qpp_perm if interleaver == "lte" else umts_perm
+    rows, invs = [], []
+    cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for K in Ks:
+        if K > K_bucket:
+            raise ValueError(f"K={K} exceeds bucket {K_bucket}")
+        if K not in cache:
+            F = K_bucket - K
+            phi = np.arange(K_bucket, dtype=np.int32)
+            phi[F:] = F + np.asarray(mk(K), np.int32)
+            inv = np.empty_like(phi)
+            inv[phi] = np.arange(K_bucket, dtype=np.int32)
+            cache[K] = (phi, inv)
+        phi, inv = cache[K]
+        rows.append(phi)
+        invs.append(inv)
+    return np.stack(rows), np.stack(invs)
+
+
 def bucket_ceilings(Ks: list[int], legal: tuple[int, ...]) -> dict[int, int]:
     """Map each K to the smallest ceiling in `legal` >= K (pad-to-bucket
     compile-shape reduction).  Padding itself uses the known-zero-bit trick

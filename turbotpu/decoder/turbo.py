@@ -96,25 +96,42 @@ def get_siso(cfg: DecoderConfig) -> SisoFn:
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def turbo_decode(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
                  tail1: jax.Array, tail2: jax.Array,
-                 cfg: DecoderConfig) -> tuple[jax.Array, jax.Array, jax.Array]:
+                 cfg: DecoderConfig,
+                 perm_b: jax.Array | None = None,
+                 inv_b: jax.Array | None = None
+                 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Decode a batch of codewords.
 
     Returns (hard_bits (B, K) int8, n_iters_run (B,) int32, L (B, K)).
+
+    perm_b / inv_b: optional per-codeword (B, K) int32 interleaver tables
+    for TRUE mixed-K batches (bucketing.embedded_perm_tables) -- each
+    codeword is gathered through its OWN embedded permutation, so a
+    heterogeneous batch of real per-K codewords decodes in one call.
+    None (the default) uses the shared cfg.K table.
     """
     B, K = ls.shape
     assert K == cfg.K
     if cfg.siso == "pallas":
         # Transpose-free hot loop in the kernel's native cell layout.
         from .turbo_cells import turbo_decode_cells
-        return turbo_decode_cells(ls, lp1, lp2, tail1, tail2, cfg)
-    perm = jnp.asarray(cfg.perm())
-    inv = jnp.asarray(cfg.inv())
+        return turbo_decode_cells(ls, lp1, lp2, tail1, tail2, cfg,
+                                  perm_b=perm_b, inv_b=inv_b)
     siso = get_siso(cfg)
     scale = cfg.resolved_ext_scale()
 
+    if perm_b is None:
+        perm = jnp.asarray(cfg.perm())
+        inv = jnp.asarray(cfg.inv())
+        g_perm = lambda x: x[:, perm]
+        g_inv = lambda x: x[:, inv]
+    else:
+        g_perm = lambda x: jnp.take_along_axis(x, perm_b, axis=1)
+        g_inv = lambda x: jnp.take_along_axis(x, inv_b, axis=1)
+
     ls1 = jnp.concatenate([ls, tail1[:, 0::2]], axis=1)
     lp1f = jnp.concatenate([lp1, tail1[:, 1::2]], axis=1)
-    ls2 = jnp.concatenate([ls[:, perm], tail2[:, 0::2]], axis=1)
+    ls2 = jnp.concatenate([g_perm(ls), tail2[:, 0::2]], axis=1)
     lp2f = jnp.concatenate([lp2, tail2[:, 1::2]], axis=1)
 
     if cfg.early_term == "crc":
@@ -130,9 +147,9 @@ def turbo_decode(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
         it, le21, L_prev, hard_prev, done, iters = carry
         _, le1 = siso(ls1, lp1f, le21, mode=cfg.mode)
         le1 = le1 * scale
-        _, le2 = siso(ls2, lp2f, le1[:, perm], mode=cfg.mode)
+        _, le2 = siso(ls2, lp2f, g_perm(le1), mode=cfg.mode)
         le2 = le2 * scale
-        le21_new = le2[:, inv]
+        le21_new = g_inv(le2)
         L_new = ls + le1 + le21_new
         hard_new = (L_new < 0).astype(jnp.int8)
 

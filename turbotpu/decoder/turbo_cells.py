@@ -25,8 +25,16 @@ from .turbo import DecoderConfig
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
                        tail1: jax.Array, tail2: jax.Array,
-                       cfg: DecoderConfig):
-    """Same contract as decoder.turbo.turbo_decode, Pallas-cell hot loop."""
+                       cfg: DecoderConfig,
+                       perm_b: jax.Array | None = None,
+                       inv_b: jax.Array | None = None):
+    """Same contract as decoder.turbo.turbo_decode, Pallas-cell hot loop.
+
+    perm_b / inv_b: optional per-codeword (B, K) embedded interleaver
+    tables (bucketing.embedded_perm_tables) for TRUE mixed-K batches; the
+    extrinsic exchange then runs as a take_along_axis gather with a
+    cell-layout index tensor instead of a shared time-axis gather.
+    """
     B, K = ls.shape
     assert K == cfg.K
     KT = K + 3
@@ -34,17 +42,36 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
     # blocks); larger windows cut NII seam count at the cost of VMEM.
     W = cfg.window if cfg.window else window_len(KT)
     KTp = _round_up(KT, W)
-    perm = np.asarray(cfg.perm())
-    inv = np.asarray(cfg.inv())
-    # Extended permutations cover the pad region (gathered rows >= K are
-    # masked to zero a-priori inside the kernel, so index 0 is fine there).
-    ext = np.arange(K, KTp, dtype=np.int32)
-    perm_e = jnp.asarray(np.concatenate([perm.astype(np.int32), ext]))
-    inv_e = jnp.asarray(np.concatenate([inv.astype(np.int32), ext]))
     scale = cfg.resolved_ext_scale()
     dt = jnp.dtype(cfg.io_dtype)  # LLR/extrinsic HBM dtype (metrics fp32)
     Bp = _round_up(B, CELL)
     padb = lambda x: jnp.pad(x.astype(dt), ((0, Bp - B), (0, 0)))
+
+    # Extended permutations cover the pad region (gathered rows >= K are
+    # masked to zero a-priori inside the kernel, so identity is fine there).
+    ext = np.arange(K, KTp, dtype=np.int32)
+    if perm_b is None:
+        perm = np.asarray(cfg.perm())
+        inv = np.asarray(cfg.inv())
+        perm_e = jnp.asarray(np.concatenate([perm.astype(np.int32), ext]))
+        inv_e = jnp.asarray(np.concatenate([inv.astype(np.int32), ext]))
+        g_perm = lambda x: x[:, perm_e]
+        g_inv = lambda x: x[:, inv_e]
+        g_sys = lambda x: x[:, perm]
+    else:
+        def cells_index(tab):
+            t = jnp.concatenate(
+                [tab.astype(jnp.int32),
+                 jnp.broadcast_to(jnp.asarray(ext), (B, KTp - K))], axis=1)
+            t = jnp.concatenate(
+                [t, jnp.broadcast_to(jnp.arange(KTp, dtype=jnp.int32),
+                                     (Bp - B, KTp))], axis=0)
+            return to_cells(t)
+        perm_c = cells_index(perm_b)     # (cells, KTp, 8, 128) int32
+        inv_c = cells_index(inv_b)
+        g_perm = lambda x: jnp.take_along_axis(x, perm_c, axis=1)
+        g_inv = lambda x: jnp.take_along_axis(x, inv_c, axis=1)
+        g_sys = lambda x: jnp.take_along_axis(x, perm_b, axis=1)
 
     def stream(body, tail, pad_val):
         full = jnp.concatenate([body, tail], axis=1)
@@ -53,7 +80,7 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
 
     ls1_c = stream(ls, tail1[:, 0::2], BIG)
     lp1_c = stream(lp1, tail1[:, 1::2], 0.0)
-    ls2_c = stream(ls[:, perm], tail2[:, 0::2], BIG)
+    ls2_c = stream(g_sys(ls), tail2[:, 0::2], BIG)
     lp2_c = stream(lp2, tail2[:, 1::2], 0.0)
     n_cells = ls1_c.shape[0]
 
@@ -73,13 +100,13 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
         if cfg.nii:
             le1, ck1 = siso_cells(ls1_c, lp1_c, le21, K, cfg.mode, scale,
                                   nii_ckpt=ck1, window=W)
-            le2, ck2 = siso_cells(ls2_c, lp2_c, le1[:, perm_e], K, cfg.mode,
+            le2, ck2 = siso_cells(ls2_c, lp2_c, g_perm(le1), K, cfg.mode,
                                   scale, nii_ckpt=ck2, window=W)
         else:
             le1 = siso_cells(ls1_c, lp1_c, le21, K, cfg.mode, scale, window=W)
-            le2 = siso_cells(ls2_c, lp2_c, le1[:, perm_e], K, cfg.mode, scale,
+            le2 = siso_cells(ls2_c, lp2_c, g_perm(le1), K, cfg.mode, scale,
                              window=W)
-        return le2[:, inv_e], le1, ck1, ck2
+        return g_inv(le2), le1, ck1, ck2
 
     def full_llr(le21, le1):
         return (ls1_c[:, :K].astype(f32)

@@ -39,14 +39,22 @@ class SimConfig:
     decoder: DecoderConfig = dataclasses.field(
         default_factory=lambda: DecoderConfig(K=40))
     modulation: str = "bpsk"          # "bpsk" | "qpsk" | "qam16" | "qam64"
+    channel: str = "awgn"             # "awgn" | "rayleigh" (flat per-symbol
+                                      # Rayleigh fading, perfect CSI at the
+                                      # receiver; E[|h|^2]=1 keeps the Eb/N0
+                                      # label an AVERAGE-energy statement)
     use_crc: bool = True              # attach CRC-24A inside the payload
-    K_mix: tuple[int, ...] = ()       # mixed true block sizes (pad-to-bucket,
-                                      # SURVEY.md section 8 hard part 3): each
-                                      # codeword i carries K_mix[i % len] info
-                                      # bits; blocks are ENCODED at the bucket
-                                      # ceiling K with K - K_mix[i] leading
-                                      # known-zero fillers and decoded in ONE
-                                      # jitted call with per-codeword masks.
+    K_mix: tuple[int, ...] = ()       # TRUE mixed block sizes (SURVEY.md
+                                      # section 8 hard part 3): each codeword
+                                      # i carries K_mix[i % len] info bits,
+                                      # is encoded with ITS OWN interleaver
+                                      # at its own 3K+12 mother-rate length
+                                      # and per-K Eb/N0->Es/N0 conversion,
+                                      # then EMBEDDED into the K bucket with
+                                      # leading known-zero fillers and
+                                      # decoded in ONE jitted call via
+                                      # per-codeword permutation tables
+                                      # (bucketing.embedded_perm_tables).
                                       # () = homogeneous batch at K.
     E: int = 0                        # rate-matched length (0 = mother rate)
     rv: int = 0
@@ -90,10 +98,25 @@ class SimConfig:
         per_tx = -(-per_tx // m) * m
         return self.K / (per_tx * len(self.rvs))
 
+    def mixed_groups(self) -> list[tuple[int, int]]:
+        """Grouped (K, count) for a K_mix batch, ascending K.  Codewords
+        are generated group-contiguous (the batch is i.i.d., so ordering
+        is statistically irrelevant; grouping keeps the tx chain to one
+        static shape per distinct K)."""
+        from collections import Counter
+        c = Counter(self.K_mix[i % len(self.K_mix)] for i in range(self.B))
+        return sorted(c.items())
+
 
 def _ebn0_to_esn0_db(cfg: SimConfig, ebn0_db: float) -> float:
-    """Es/N0 = Eb/N0 * rate * bits-per-symbol (unit-energy symbols)."""
+    """Es/N0 = Eb/N0 * rate * bits-per-symbol (unit-energy symbols).
+
+    For a K_mix batch each block size has its own mother-rate K/(3K+12):
+    the per-group rate factor is applied inside the step, so this returns
+    Eb/N0 adjusted only by bits-per-symbol."""
     bps = qam.BITS_PER_SYMBOL[cfg.modulation]
+    if cfg.K_mix:
+        return ebn0_db + 10 * np.log10(bps)
     return ebn0_db + 10 * np.log10(cfg.rate * bps)
 
 
@@ -104,18 +127,29 @@ def make_step(cfg: SimConfig):
     """Build the fused per-batch simulation step: key, esn0_db -> counters."""
     n_payload = cfg.K - 24 if cfg.use_crc else cfg.K
     perm = cfg.decoder.perm()
-    F = cfg.filler_lengths()  # (B,) or None; baked in as a device constant
+
+    if cfg.K_mix:
+        if cfg.E or cfg.rv_sequence:
+            raise NotImplementedError("K_mix + rate matching not supported")
+        import dataclasses as _dc
+        from ..decoder.bucketing import embedded_perm_tables
+        groups = cfg.mixed_groups()                    # [(K_g, count)] asc
+        Ks_g = np.concatenate([[k] * n for k, n in groups]).astype(np.int32)
+        F_arr = (cfg.K - Ks_g).astype(np.int32)        # grouped row order
+        pb, ib = embedded_perm_tables(list(Ks_g), cfg.K,
+                                      cfg.decoder.interleaver)
+        perm_b, inv_b = jnp.asarray(pb), jnp.asarray(ib)
+        group_perms = {k: _dc.replace(cfg.decoder, K=k).perm()
+                       for k, _ in groups}
 
     @jax.jit
     def step(key: jax.Array, esn0_db: jax.Array):
-        def one(key):
-            be, fe, it = _one_batch(key, esn0_db)
-            return be, fe, it
+        one = _one_batch_mixed if cfg.K_mix else _one_batch
 
         def body(i, carry):
             key, be, fe, it = carry
             key, sub = jax.random.split(key)
-            b, f, t = one(sub)
+            b, f, t = one(sub, esn0_db)
             return key, be + b, fe + f, it + t
 
         z = jnp.int32(0)
@@ -123,13 +157,20 @@ def make_step(cfg: SimConfig):
             0, cfg.steps_per_check, body, (key, z, z, z))
         return be, fe, it
 
+    fading = cfg.channel == "rayleigh"
+    if cfg.channel not in ("awgn", "rayleigh"):
+        raise ValueError(f"unknown channel {cfg.channel!r}")
+
     def _channel(kn: jax.Array, tx_bits: jax.Array, esn0_db: jax.Array):
-        """modulate -> AWGN -> demap; pads to whole symbols for m > 1."""
+        """modulate -> channel -> demap; pads to whole symbols for m > 1."""
         if cfg.modulation == "qpsk":
             nb = tx_bits.shape[1]
             pad = (-nb) % 2
             xb = jnp.pad(tx_bits.astype(jnp.int8), ((0, 0), (0, pad)))
             x = chain.modulate_qpsk(xb)
+            if fading:
+                z, a = chain.rayleigh_fading(kn, x, esn0_db)
+                return chain.demap_qpsk_csi(z, a, esn0_db)[:, :nb]
             y = chain.awgn_complex(kn, x, esn0_db)
             return chain.demap_qpsk(y, esn0_db)[:, :nb]
         if cfg.modulation in ("qam16", "qam64"):
@@ -138,21 +179,21 @@ def make_step(cfg: SimConfig):
             pad = (-nb) % m  # zero-pad to a whole symbol; drop after demap
             xb = jnp.pad(tx_bits.astype(jnp.int8), ((0, 0), (0, pad)))
             x = qam.modulate_qam(xb, m)
+            if fading:
+                z, a = chain.rayleigh_fading(kn, x, esn0_db)
+                return qam.demap_qam(z, esn0_db, m, amp=a)[:, :nb]
             y = chain.awgn_complex(kn, x, esn0_db)
             return qam.demap_qam(y, esn0_db, m)[:, :nb]
         x = chain.modulate_bpsk(tx_bits.astype(jnp.int8))
+        if fading:
+            z, a = chain.rayleigh_fading(kn, x, esn0_db)
+            return chain.demap_bpsk_csi(z, a, esn0_db)
         y = chain.awgn(kn, x, esn0_db)
         return chain.demap_bpsk(y, esn0_db)
 
     def _one_batch(key: jax.Array, esn0_db: jax.Array):
         kp, kn = jax.random.split(key)
         payload = chain.gen_payload(kp, cfg.B, n_payload)
-        if F is not None:
-            # Pad-to-bucket: codeword i's first F[i] bits are known-zero
-            # fillers (inside the CRC like LTE segmentation fillers).
-            fill = jnp.asarray(F)[:, None]
-            payload = payload * (jnp.arange(n_payload) >= fill).astype(
-                payload.dtype)
         bits = (chain.crc_attach_batch(payload, cfg.decoder.crc_poly)
                 if cfg.use_crc else payload)
         enc = chain.turbo_encode(bits, perm)
@@ -168,21 +209,50 @@ def make_step(cfg: SimConfig):
                 llr_d = llr_d + de_rate_match_jax(llr, cfg.K, v)
         else:
             llr_d = _channel(kn, d_flat, esn0_db)
-        parts = lte_demux_jax(llr_d)
-        if F is not None:
-            # The receiver knows the fillers are zero: certainty-clamp
-            # their systematic LLRs before decoding.
-            ls, lp1, lp2, t1, t2 = parts
-            fill = jnp.asarray(F)[:, None]
-            ls = jnp.where(jnp.arange(cfg.K) < fill, BIG_LLR, ls)
-            parts = (ls, lp1, lp2, t1, t2)
-        hard, iters, _ = turbo_decode(*parts, cfg.decoder)
+        hard, iters, _ = turbo_decode(*lte_demux_jax(llr_d), cfg.decoder)
         err = hard != bits
-        if F is not None:
-            err = err & (jnp.arange(cfg.K) >= jnp.asarray(F)[:, None])
         bit_errs = jnp.sum(err, dtype=jnp.int32)
         frame_err_mask = jnp.any(err, axis=1)
         frame_errs = jnp.sum(frame_err_mask, dtype=jnp.int32)
+        return bit_errs, frame_errs, jnp.sum(iters, dtype=jnp.int32)
+
+    def _one_batch_mixed(key: jax.Array, esn0_db: jax.Array):
+        """TRUE mixed-K batch: each group is encoded with its own
+        interleaver, transmitted at its own 3K+12 mother-rate length and
+        per-K rate-adjusted Es/N0, then embedded into the K bucket with
+        leading known-filler LLRs (+BIG systematic / 0 parity) and decoded
+        in ONE call through per-codeword permutation tables."""
+        ls_l, lp1_l, lp2_l, t1_l, t2_l, bits_l = [], [], [], [], [], []
+        for K_g, n_g in groups:
+            kp, kn = jax.random.split(jax.random.fold_in(key, K_g))
+            np_g = K_g - 24 if cfg.use_crc else K_g
+            payload = chain.gen_payload(kp, n_g, np_g)
+            bits = (chain.crc_attach_batch(payload, cfg.decoder.crc_poly)
+                    if cfg.use_crc else payload)
+            d_flat = lte_mux_jax(*chain.turbo_encode(
+                bits, group_perms[K_g])).astype(jnp.float32)
+            # Per-group mother rate K/(3K+12): the honest per-block
+            # Eb/N0 -> Es/N0 conversion (esn0_db here carries only the
+            # bits-per-symbol factor, see _ebn0_to_esn0_db).
+            esn0_g = esn0_db + 10 * np.log10(K_g / (3 * K_g + 12))
+            llr_d = _channel(kn, d_flat, esn0_g)
+            ls, lp1, lp2, t1, t2 = lte_demux_jax(llr_d)
+            Fg = cfg.K - K_g
+            ls_l.append(jnp.pad(ls, ((0, 0), (Fg, 0)),
+                                constant_values=BIG_LLR))
+            lp1_l.append(jnp.pad(lp1, ((0, 0), (Fg, 0))))
+            lp2_l.append(jnp.pad(lp2, ((0, 0), (Fg, 0))))
+            t1_l.append(t1)
+            t2_l.append(t2)
+            bits_l.append(jnp.pad(bits, ((0, 0), (Fg, 0))))
+        cat = lambda xs: jnp.concatenate(xs, axis=0)
+        hard, iters, _ = turbo_decode(
+            cat(ls_l), cat(lp1_l), cat(lp2_l), cat(t1_l), cat(t2_l),
+            cfg.decoder, perm_b=perm_b, inv_b=inv_b)
+        err = (hard != cat(bits_l)) & (
+            jnp.arange(cfg.K) >= jnp.asarray(F_arr)[:, None])
+        bit_errs = jnp.sum(err, dtype=jnp.int32)
+        frame_errs = jnp.sum(jnp.any(err, axis=1), dtype=jnp.int32)
         return bit_errs, frame_errs, jnp.sum(iters, dtype=jnp.int32)
 
     return step

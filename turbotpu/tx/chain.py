@@ -100,11 +100,17 @@ def modulate_qpsk(bits: jax.Array) -> jax.Array:
 
 
 def awgn_complex(key: jax.Array, x: jax.Array, esn0_db: jax.Array | float) -> jax.Array:
+    """Circularly-symmetric AWGN at Es/N0 for unit-energy complex symbols:
+    total noise power N0 = 1/(Es/N0), i.e. variance 1/(2*Es/N0) per real
+    dimension -- the convention every demapper in this module assumes.
+    (A round-2 fix: this used to inject half that power, making all
+    complex-modulation BER curves 3 dB optimistic; the uncoded-QPSK
+    closed-form anchor in tests/unit/test_qam.py now pins it.)"""
     esn0 = 10.0 ** (jnp.asarray(esn0_db, jnp.float32) / 10.0)
-    sigma = jnp.sqrt(1.0 / (2.0 * esn0))
+    sigma = jnp.sqrt(1.0 / (2.0 * esn0))  # per-real-dimension std
     kr, ki = jax.random.split(key)
     n = (jax.random.normal(kr, x.shape, jnp.float32)
-         + 1j * jax.random.normal(ki, x.shape, jnp.float32)) / jnp.sqrt(2.0)
+         + 1j * jax.random.normal(ki, x.shape, jnp.float32))
     return x + sigma * n
 
 
@@ -116,4 +122,59 @@ def demap_qpsk(y: jax.Array, esn0_db: jax.Array | float) -> jax.Array:
     out = jnp.empty((B, 2 * n), jnp.float32)
     out = out.at[:, 0::2].set(scale * jnp.real(y))
     out = out.at[:, 1::2].set(scale * jnp.imag(y))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Rayleigh flat fading with perfect CSI (SURVEY.md section 3 component 10/11
+# extension: the standard second channel model decoder harnesses validate on)
+# ---------------------------------------------------------------------------
+
+def rayleigh_fading(key: jax.Array, x: jax.Array,
+                    esn0_db: jax.Array | float
+                    ) -> tuple[jax.Array, jax.Array]:
+    """Per-symbol Rayleigh flat fading + noise; returns (z, a).
+
+    Channel: y = h * x + n with h ~ CN(0, 1) i.i.d. per symbol and
+    circularly-symmetric noise at the given Es/N0 (E[|h|^2] = 1, so the
+    average Es/N0 label is unchanged).  The receiver has perfect CSI and
+    applies the maximal-ratio rotation z = conj(h) * y / |h|, which leaves
+
+        z = a * x + n'        a = |h| (Rayleigh),  n' ~ same law as n
+
+    because the rotation is unitary on circular noise.  Returns the rotated
+    observation `z` (real for real `x`, taking Re(.) -- the imaginary rail
+    of a real constellation carries no signal) and the CSI amplitudes `a`,
+    to be passed to the *_csi demappers / `demap_qam(..., amp=a)`.
+    """
+    kh, kn = jax.random.split(key)
+    hr = jax.random.normal(kh, (2,) + x.shape, jnp.float32) / jnp.sqrt(2.0)
+    h = (hr[0] + 1j * hr[1]).astype(jnp.complex64)
+    a = jnp.abs(h)
+    if jnp.iscomplexobj(x):
+        y = awgn_complex(kn, h * x, esn0_db)
+        return jnp.conj(h) / a.astype(jnp.complex64) * y, a
+    # Real constellation on a complex channel: after the MRC rotation the
+    # in-phase rail is a*x + Re(n'), Re(n') real Gaussian with the same
+    # per-dimension variance as the real-channel AWGN model.
+    y = awgn_complex(kn, (h * x.astype(jnp.complex64)), esn0_db)
+    return jnp.real(jnp.conj(h) / a.astype(jnp.complex64) * y), a
+
+
+def demap_bpsk_csi(z: jax.Array, a: jax.Array,
+                   esn0_db: jax.Array | float) -> jax.Array:
+    """BPSK LLR with per-symbol CSI amplitude: L = 4 * (Es/N0) * a * z."""
+    esn0 = 10.0 ** (jnp.asarray(esn0_db, jnp.float32) / 10.0)
+    return 4.0 * esn0 * a * z
+
+
+def demap_qpsk_csi(z: jax.Array, a: jax.Array,
+                   esn0_db: jax.Array | float) -> jax.Array:
+    """QPSK per-rail LLRs with CSI: each rail is BPSK at amplitude a/sqrt(2)."""
+    esn0 = 10.0 ** (jnp.asarray(esn0_db, jnp.float32) / 10.0)
+    scale = 4.0 * esn0 / jnp.sqrt(2.0) * a
+    B, n = z.shape
+    out = jnp.empty((B, 2 * n), jnp.float32)
+    out = out.at[:, 0::2].set(scale * jnp.real(z))
+    out = out.at[:, 1::2].set(scale * jnp.imag(z))
     return out

@@ -68,14 +68,21 @@ def modulate_qam(bits: jax.Array, m: int) -> jax.Array:
     return jnp.asarray(points, jnp.complex64)[idx]
 
 
-def demap_qam(y: jax.Array, esn0_db: jax.Array | float, m: int) -> jax.Array:
+def demap_qam(y: jax.Array, esn0_db: jax.Array | float, m: int,
+              amp: jax.Array | None = None) -> jax.Array:
     """Exact max-log per-bit LLRs: (B, n) symbols -> (B, m*n) LLRs.
 
-    LLR > 0 favors bit 0 (framework convention).
+    LLR > 0 favors bit 0 (framework convention).  `amp` (broadcastable to
+    y's shape) is the per-symbol CSI amplitude of a fading channel after
+    MRC rotation (chain.rayleigh_fading): the hypothesis distances become
+    |y - amp*s|^2, which is the exact max-log metric for y = a*s + n with
+    known a.  amp=None is the unit-gain AWGN case.
     """
     points, bit_table = constellation(m)
     esn0 = 10.0 ** (jnp.asarray(esn0_db, jnp.float32) / 10.0)
     pts = jnp.asarray(points, jnp.complex64)
+    if amp is not None:
+        pts = amp[..., None].astype(jnp.complex64) * pts
     d2 = jnp.abs(y[..., None] - pts) ** 2                      # (B, n, M)
     big = jnp.float32(np.finfo(np.float32).max)
     llrs = []
