@@ -50,11 +50,17 @@ def test_maxlog_penalty_small():
 @pytest.mark.slow
 def test_pallas_matches_scan_ber():
     """The Pallas kernel path must match the scan path statistically
-    (identical inputs, same seeds -> nearly identical error counts)."""
-    a = simulate_point(_cfg(512, siso="scan", min_frame_errors=30,
-                            max_frames=8192), 1.2)
-    b = simulate_point(_cfg(512, siso="pallas", min_frame_errors=30,
-                            max_frames=8192), 1.2)
+    (identical inputs, same seeds -> nearly identical error counts).
+
+    Pallas interpret mode runs ~3 frames/s on CPU (vs ~900 for scan), so
+    this compares error counts at a high-FER operating point where a few
+    hundred frames carry plenty of errors; the bit-level Pallas==scan
+    agreement on identical inputs is covered by tests/unit fast tests,
+    and the full waterfall match is validated on hardware (RESULTS.md)."""
+    a = simulate_point(_cfg(512, siso="scan", min_frame_errors=25,
+                            max_frames=256), 0.9)
+    b = simulate_point(_cfg(512, siso="pallas", min_frame_errors=25,
+                            max_frames=256), 0.9)
     assert abs(a["bit_errs"] - b["bit_errs"]) <= 0.2 * max(a["bit_errs"], 1), (a, b)
 
 

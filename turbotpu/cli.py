@@ -89,6 +89,11 @@ def main(argv=None):
     sc.add_argument("--iters", type=int, default=6)
     sc.add_argument("--siso", default="pallas")
     sc.add_argument("--devices", type=int, nargs="+", default=None)
+    sc.add_argument("--json-out", default=None,
+                    help="also write the records (with an 'efficiency' "
+                         "field per device count) to this JSON file -- the "
+                         "scrapeable scaling artifact for real multi-chip "
+                         "runs (BASELINE >= 85%% target)")
 
     sup = sub.add_parser(
         "supervise",
@@ -175,8 +180,12 @@ def main(argv=None):
         from turbotpu.harness.scaling import bench_scaling
         cfg = DecoderConfig(K=args.k, n_iters=args.iters, mode="maxlog",
                             siso=args.siso)
-        for rec in bench_scaling(cfg, args.per_device_batch, args.devices):
+        recs = bench_scaling(cfg, args.per_device_batch, args.devices)
+        for rec in recs:
             print(json.dumps(rec))
+        if args.json_out:
+            import pathlib
+            pathlib.Path(args.json_out).write_text(json.dumps(recs, indent=1))
         return 0
 
     if args.cmd == "supervise":

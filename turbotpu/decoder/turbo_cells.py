@@ -98,15 +98,21 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
         # SISO2 (interleaved order): a-priori is scale*le1 gathered by perm;
         # the kernel applies the scaling, so the gather is a pure gather.
         if cfg.nii:
-            le1, ck1 = siso_cells(ls1_c, lp1_c, le21, K, cfg.mode, scale,
-                                  nii_ckpt=ck1, window=W)
-            le2, ck2 = siso_cells(ls2_c, lp2_c, g_perm(le1), K, cfg.mode,
-                                  scale, nii_ckpt=ck2, window=W)
+            with jax.named_scope("siso1"):
+                le1, ck1 = siso_cells(ls1_c, lp1_c, le21, K, cfg.mode, scale,
+                                      nii_ckpt=ck1, window=W)
+            with jax.named_scope("siso2"):
+                le2, ck2 = siso_cells(ls2_c, lp2_c, g_perm(le1), K, cfg.mode,
+                                      scale, nii_ckpt=ck2, window=W)
         else:
-            le1 = siso_cells(ls1_c, lp1_c, le21, K, cfg.mode, scale, window=W)
-            le2 = siso_cells(ls2_c, lp2_c, g_perm(le1), K, cfg.mode, scale,
-                             window=W)
-        return g_inv(le2), le1, ck1, ck2
+            with jax.named_scope("siso1"):
+                le1 = siso_cells(ls1_c, lp1_c, le21, K, cfg.mode, scale,
+                                 window=W)
+            with jax.named_scope("siso2"):
+                le2 = siso_cells(ls2_c, lp2_c, g_perm(le1), K, cfg.mode,
+                                 scale, window=W)
+        with jax.named_scope("deinterleave"):
+            return g_inv(le2), le1, ck1, ck2
 
     def full_llr(le21, le1):
         return (ls1_c[:, :K].astype(f32)

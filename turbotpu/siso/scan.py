@@ -91,7 +91,8 @@ def siso_scan_boundary(ls: jax.Array, lp: jax.Array, la: jax.Array,
         new = new - jnp.max(new, axis=1, keepdims=True)
         return new, alpha                            # emit alpha BEFORE step k
 
-    alpha_out, alphas = jax.lax.scan(alpha_step, a0, (A.T, P.T))
+    with jax.named_scope("siso_alpha"):
+        alpha_out, alphas = jax.lax.scan(alpha_step, a0, (A.T, P.T))
     # alphas: (KT, B, 8) = alpha_0 .. alpha_{KT-1}
 
     if betaT is None:
@@ -107,10 +108,13 @@ def siso_scan_boundary(ls: jax.Array, lp: jax.Array, la: jax.Array,
         new = maxstar2(nxt0, nxt1, mode)
         new = new - jnp.max(new, axis=1, keepdims=True)
         return new, beta                             # emit beta AFTER step k
-    beta_out, betas = jax.lax.scan(beta_step, bT, (A.T, P.T), reverse=True)
+    with jax.named_scope("siso_beta"):
+        beta_out, betas = jax.lax.scan(beta_step, bT, (A.T, P.T),
+                                       reverse=True)
     # betas: (KT, B, 8) = beta_1 .. beta_KT
 
-    L, Le = llr_stage(alphas, betas, A, P, ls, la, mode)
+    with jax.named_scope("siso_llr"):
+        L, Le = llr_stage(alphas, betas, A, P, ls, la, mode)
     return L, Le, alpha_out, beta_out
 
 
