@@ -46,6 +46,11 @@ class DecoderConfig:
                                     # cells path ("bfloat16" halves traffic
                                     # on the bandwidth-bound kernel;
                                     # metrics stay fp32)
+    boundary_xch: str = "ppermute"  # seq-parallel boundary-metric
+                                    # exchange: "ppermute" (XLA collective)
+                                    # | "dma" (one Pallas kernel, both ring
+                                    # directions' remote DMAs in flight --
+                                    # dist/dma.py, component 23 optional)
     nii: bool = False               # Pallas path: skip the exact phase-1
                                     # alpha pass; window-start alphas inherit
                                     # from the previous half-iteration

@@ -44,8 +44,15 @@ def count_errors_sharded(mesh: jax.sharding.Mesh):
     def fn(hard, ref):
         bit = jnp.sum(hard != ref, dtype=jnp.int32)
         frame = jnp.sum(jnp.any(hard != ref, axis=1), dtype=jnp.int32)
-        bit = jax.lax.psum(bit, ("data", "seq"))
-        frame = jax.lax.psum(frame, ("data", "seq"))
+        # Inputs are REPLICATED over 'seq' (every seq shard holds the same
+        # rows and computes the same local count), so the reduction runs
+        # over 'data' only -- psum'ing over 'seq' too would multiply the
+        # counts by n_seq (a real bug this comment marks the grave of:
+        # it inflated FER above 1.0 on seq>1 CPU meshes).  The psum over
+        # 'data' already leaves the result identical on every shard, which
+        # is what the replicated out_spec requires.
+        bit = jax.lax.psum(bit, "data")
+        frame = jax.lax.psum(frame, "data")
         return bit, frame
 
     return fn

@@ -375,8 +375,20 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             L_new = (ls1_c.astype(f32)
                      + scale * (le1.astype(f32) + le21_new.astype(f32)))
             hard_new = (L_new < 0).astype(jnp.int8)
-            a1n, b1n = exchange(a1o, b1o)
-            a2n, b2n = exchange(a2o, b2o)
+            if cfg.boundary_xch == "dma" and n_seq > 1:
+                # One Pallas kernel ships the whole iteration's boundary
+                # traffic: both SISOs' alpha metrics ride one forward
+                # remote DMA, both betas one backward DMA, in flight
+                # simultaneously (dist/dma.py).
+                from .dma import boundary_exchange_dma
+                fwd_rx, bwd_rx = boundary_exchange_dma(
+                    jnp.stack([a1o, a2o]), jnp.stack([b1o, b2o]), "seq",
+                    multi_axis=True)
+                a1n, a2n = fwd_rx[0], fwd_rx[1]
+                b1n, b2n = bwd_rx[0], bwd_rx[1]
+            else:
+                a1n, b1n = exchange(a1o, b1o)
+                a2n, b2n = exchange(a2o, b2o)
 
             if cfg.early_term == "crc":
                 # Shard-local partial syndrome, psum'd over 'seq' (GF(2)
