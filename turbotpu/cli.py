@@ -53,6 +53,11 @@ def main(argv=None):
     ber.add_argument("--channel", choices=["awgn", "rayleigh"],
                      default="awgn",
                      help="rayleigh = flat per-symbol fading, perfect CSI")
+    ber.add_argument("--k-mix", type=int, nargs="+", default=None,
+                     help="TRUE mixed block sizes cycled over the batch, "
+                          "each with its own interleaver/length, decoded "
+                          "in one compiled call at the --k bucket (e.g. "
+                          "--k 5114 --k-mix 320 1280 5114)")
     ber.add_argument("--min-frame-errors", type=int, default=50)
     ber.add_argument("--max-frames", type=int, default=200_000)
     ber.add_argument("--seed", type=int, default=0)
@@ -148,6 +153,7 @@ def main(argv=None):
                               B=args.batch, ebn0_db_grid=tuple(args.ebn0),
                               decoder=dec, E=args.E, rv=args.rv,
                               rv_sequence=tuple(args.rv_seq or ()),
+                              K_mix=tuple(args.k_mix or ()),
                               modulation=args.modulation,
                               channel=args.channel,
                               use_crc=args.early_term == "crc",

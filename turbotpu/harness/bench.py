@@ -36,6 +36,9 @@ def make_decode_inputs(K: int, B: int, seed: int = 0, ebn0_db: float = 1.0,
             bits = rng.integers(0, 2, K).astype(np.int8)
         for i, x in enumerate(npr.turbo_encode(bits, perm)):
             parts[i].append(x)
+    # Mother-rate (1/3) by construction: this helper only ever emits the
+    # full 3K+12 streams (never rate-matched batches), so the fixed /3 is
+    # exact here; the BER harness derives rate from its SimConfig instead.
     sigma = np.sqrt(1 / (2 * 10 ** (ebn0_db / 10) / 3))
     out = []
     for p in parts:
