@@ -245,11 +245,28 @@ def mode_roofline(K, B):
     print(f"achieved sustained rate: {total / ns_step:.2f} tile-ops/ns "
           f"(vs {1 / issue:.2f} calibrated with 8-way ILP, "
           f"{1 / lat:.2f} serial)")
+    # THE explicit speed-of-light fraction (round-2 VERDICT item 7):
+    # SoL = counted ops at the calibrated 8-way-ILP issue rate.
+    sol_ns = total * issue
+    pct = 100.0 * sol_ns / ns_step
+    print(f"\nSPEED-OF-LIGHT FRACTION: {pct:.0f}% "
+          f"(SoL {sol_ns:.2f} ns/step from {total:.1f} counted ops x "
+          f"{issue:.3f} ns/op; measured {ns_step:.2f} ns/step)")
     print("conclusion: the kernel meets/exceeds the calibrated microbench "
           "issue rates\n(it exposes >8 independent ops per step across "
           "alpha/beta/extrinsic), i.e. it\nis VPU-issue-bound -- the "
           "HBM stream traffic (~12 B/step/cw at bf16) costs an\norder of "
           "magnitude less time than the counted compute at these rates.")
+    import json
+    with open("experiments/roofline.json", "w") as f:
+        json.dump({"counted_tile_ops_per_step": total,
+                   "calibrated_serial_ns_per_op": lat,
+                   "calibrated_ilp8_ns_per_op": issue,
+                   "measured_ns_per_step_per_1024cw": ns_step,
+                   "sol_ns_per_step": sol_ns,
+                   "percent_of_sol": pct, "K": K, "B": B, "W": W}, f,
+                  indent=1)
+    print("written experiments/roofline.json")
 
 
 def main():

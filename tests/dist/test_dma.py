@@ -84,12 +84,7 @@ def test_iterated_exchange_in_while_loop():
     np.testing.assert_array_equal(np.asarray(bd), np.asarray(bp))
 
 
-@pytest.mark.tpu
-def test_seq_decode_dma_equals_ppermute():
-    """Full seq-parallel cells decode with boundary_xch='dma' is
-    bit-identical to the ppermute path.  Needs a real multi-chip mesh:
-    jax's interpret-mode remote-DMA discharge supports only one named
-    axis, and the decoder's mesh is ('data','seq')."""
+def _decode_both_xch(nii: bool):
     import dataclasses
 
     from turbotpu.decoder.turbo import DecoderConfig
@@ -97,11 +92,9 @@ def test_seq_decode_dma_equals_ppermute():
     from turbotpu.harness.bench import make_decode_inputs
     from turbotpu.dist.seq_parallel import decode_seq_sharded
 
-    if len(jax.devices()) < 8 or jax.default_backend() != "tpu":
-        pytest.skip("needs 8 real TPU devices")
     mesh = make_mesh(data=2, seq=4)
     cfg = DecoderConfig(K=320, n_iters=2, mode="maxlog", siso="pallas",
-                        early_term="crc")
+                        early_term="crc", nii=nii)
     inputs = make_decode_inputs(320, 8, seed=3)
     outs = []
     for xch in ("ppermute", "dma"):
@@ -109,6 +102,28 @@ def test_seq_decode_dma_equals_ppermute():
             cfg, boundary_xch=xch))
         hard, iters, L = dec(*inputs)
         outs.append((np.asarray(hard), np.asarray(iters), np.asarray(L)))
-    np.testing.assert_array_equal(outs[0][0], outs[1][0])
-    np.testing.assert_array_equal(outs[0][1], outs[1][1])
-    np.testing.assert_array_equal(outs[0][2], outs[1][2])
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("nii", [False, True])
+def test_seq_decode_dma_matches_ppermute_fake_mesh(nii):
+    """boundary_xch='dma' through the production ('data','seq') decode on
+    the fake mesh: under interpret the call takes the documented
+    semantics-identical ppermute fallback (jax cannot discharge multi-axis
+    remote DMA), so this covers the full production call path -- payload
+    stacking and NII edge rolling included -- and must match the ppermute
+    branch bit-for-bit."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    _decode_both_xch(nii)
+
+
+@pytest.mark.tpu
+def test_seq_decode_dma_equals_ppermute_tpu():
+    """Same comparison with the REAL remote-DMA kernel (logical-id
+    arithmetic + barrier semaphore); needs a real multi-chip mesh."""
+    if len(jax.devices()) < 8 or jax.default_backend() != "tpu":
+        pytest.skip("needs 8 real TPU devices")
+    _decode_both_xch(False)
+    _decode_both_xch(True)

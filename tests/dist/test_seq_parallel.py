@@ -84,6 +84,55 @@ def test_seq1_pallas_matches_monolithic_exactly():
     assert (np.asarray(hard_s) == np.asarray(hard_m)).mean() > 0.99
 
 
+def test_seq_nii_single_window_equals_exact():
+    """With one window per chunk the NII chunk path and the exact boundary
+    chunk path are the SAME computation (slot-0 alpha start == chunk edge,
+    beta flows from the chunk-end edge either way) -- outputs must be
+    bit-identical, not merely close."""
+    mesh = make_mesh(data=1, seq=8)
+    K, B = 320, 2
+    bits, noisy = _batch(K, B, seed=5, ebn0_db=1.2)
+    spec = NamedSharding(mesh, P(("data",), None))
+    args = [jax.device_put(x, spec) for x in noisy]
+    outs = []
+    for nii in (False, True):
+        cfg = DecoderConfig(K=K, n_iters=4, siso="pallas", nii=nii)
+        hard, iters, L = decode_seq_sharded(mesh, cfg)(*args)
+        outs.append((np.asarray(hard), np.asarray(L)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_seq_nii_multiwindow_decodes():
+    """NII at both granularities (window seams inside the chunk + chunk
+    seams over ppermute): multi-window chunks must still decode cleanly
+    and track the monolithic NII decoder."""
+    mesh = make_mesh(data=2, seq=2)
+    K, B = 104, 4
+    bits, noisy = _batch(K, B, seed=6, ebn0_db=2.0)
+    # window=16 forces ceil(107/2)=54 -> C=64 = 4 windows of 16 per chunk.
+    cfg = DecoderConfig(K=K, n_iters=6, siso="pallas", nii=True, window=16)
+    dec = decode_seq_sharded(mesh, cfg)
+    spec = NamedSharding(mesh, P(("data",), None))
+    hard, iters, L = dec(*[jax.device_put(x, spec) for x in noisy])
+    assert (np.asarray(hard) == bits).all()
+    hard_m, _, _ = turbo_decode(*noisy, cfg)
+    assert (np.asarray(hard) == np.asarray(hard_m)).mean() > 0.99
+
+
+def test_seq_nii_crc_early_term():
+    mesh = make_mesh(data=2, seq=2)
+    K, B = 104, 4
+    bits, noisy = _batch(K, B, seed=7, ebn0_db=3.0, with_crc=True)
+    cfg = DecoderConfig(K=K, n_iters=8, early_term="crc", siso="pallas",
+                        nii=True, window=16)
+    dec = decode_seq_sharded(mesh, cfg)
+    spec = NamedSharding(mesh, P(("data",), None))
+    hard, iters, _ = dec(*[jax.device_put(x, spec) for x in noisy])
+    assert (np.asarray(hard) == bits).all()
+    assert (np.asarray(iters) < 8).all()
+
+
 def test_seq_sharded_crc_early_term():
     mesh = make_mesh(data=2, seq=2)
     K, B = 104, 4

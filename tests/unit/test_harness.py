@@ -72,6 +72,72 @@ def test_mixed_k_rejects_oversize():
         _fast_cfg(K=104, K_mix=(40, 200), B=4).filler_lengths()
 
 
+def test_mixed_k_with_rate_matching():
+    """K_mix + per-group rate matching (round-2 VERDICT item 4): each
+    group punctured to its proportional E_g (aggregate rate preserved),
+    de-rate-matched per group, one embedded decode; clean at high SNR."""
+    cfg = _fast_cfg(K=104, K_mix=(40, 104), B=8, E=208,   # rate ~1/2
+                    decoder=DecoderConfig(K=104, n_iters=4,
+                                          early_term="crc"),
+                    use_crc=True, ebn0_db_grid=(8.0,))
+    assert cfg.e_mix_resolved() == (80, 208)
+    rec = simulate_point(cfg, 8.0)
+    assert rec["bit_errs"] == 0
+    assert rec["frame_errs"] == 0
+
+
+def test_mixed_k_explicit_e_mix_and_harq():
+    """Explicit per-group E_mix composes with HARQ rv_sequence."""
+    cfg = _fast_cfg(K=104, K_mix=(40, 104), B=8, E_mix=(64, 160),
+                    rv_sequence=(0, 2),
+                    decoder=DecoderConfig(K=104, n_iters=4), use_crc=False)
+    rec = simulate_point(cfg, 8.0)
+    assert rec["bit_errs"] == 0
+
+
+def test_mixed_k_rate_match_validation():
+    with pytest.raises(ValueError):
+        _fast_cfg(K=104, K_mix=(40, 104), E_mix=(64,)).e_mix_resolved()
+    from turbotpu.harness.ber import make_step
+    with pytest.raises(ValueError):
+        # HARQ needs every group rate-matched.
+        make_step(_fast_cfg(K=104, K_mix=(40, 104), B=4,
+                            rv_sequence=(0, 2),
+                            decoder=DecoderConfig(K=104, n_iters=2)))
+
+
+def test_mixed_k_rate_matched_tracks_homogeneous():
+    """A mixed (K, E) batch's per-group error statistics must be
+    consistent with the same groups run homogeneously at equal Es/N0
+    (same channel conventions, independent noise): compare total errors
+    at a mid-waterfall point with loose statistical margins."""
+    import jax
+    import jax.numpy as jnp
+    esn0 = jnp.float32(0.0)
+    mixed = _fast_cfg(K=104, K_mix=(64, 104), B=64, E=312,
+                      decoder=DecoderConfig(K=104, n_iters=3),
+                      use_crc=False)
+    be_m = fe_m = 0
+    step = make_step(mixed)
+    for s in range(6):
+        b, f, _ = step(jax.random.key(s), esn0)
+        be_m, fe_m = be_m + int(b), fe_m + int(f)
+    fe_h = 0
+    for K_g, E_g in ((64, 192), (104, 312)):
+        homo = _fast_cfg(K=K_g, B=32, E=E_g,
+                         decoder=DecoderConfig(K=K_g, n_iters=3),
+                         use_crc=False)
+        hstep = make_step(homo)
+        # Undo the homogeneous path's static rate folding; apply the
+        # group rate by hand so both runs see identical Es/N0.
+        esn0_g = jnp.float32(10 * np.log10(K_g / E_g))
+        for s in range(6):
+            _, f, _ = hstep(jax.random.key(100 + s), esn0_g)
+            fe_h += int(f)
+    assert fe_m > 0 and fe_h > 0          # mid-waterfall, both see errors
+    assert 0.4 < fe_m / fe_h < 2.5        # same operating point
+
+
 def test_qam_rate_counts_pad_bits():
     # E=50 at qam64 pads to 54 channel bits/tx; the Eb/N0 label must count
     # them (ADVICE round-1 item 2).

@@ -58,6 +58,9 @@ def main(argv=None):
                           "each with its own interleaver/length, decoded "
                           "in one compiled call at the --k bucket (e.g. "
                           "--k 5114 --k-mix 320 1280 5114)")
+    ber.add_argument("--e-mix", type=int, nargs="+", default=None,
+                     help="per --k-mix rate-matched lengths (with --k-mix "
+                          "but no --e-mix, --E is split proportionally)")
     ber.add_argument("--min-frame-errors", type=int, default=50)
     ber.add_argument("--max-frames", type=int, default=200_000)
     ber.add_argument("--seed", type=int, default=0)
@@ -127,6 +130,41 @@ def main(argv=None):
     c5.add_argument("--seq", type=int, default=2)
     c5.add_argument("--siso", default="pallas",
                     help="chunk SISO: pallas (fused kernel) or scan")
+    c5.add_argument("--io-dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    c5.add_argument("--nii", action="store_true",
+                    help="NII inside the chunk kernel too (window-start "
+                         "alphas inherited across half-iterations): the "
+                         "flagship-speed seq-parallel path")
+    c5.add_argument("--window", type=int, default=0)
+    c5.add_argument("--xch", default="ppermute",
+                    choices=["ppermute", "dma"],
+                    help="boundary-metric exchange backend")
+
+    tb = sub.add_parser("tb", help="transport-block Monte-Carlo: TB > 6144 "
+                        "bits through segmentation, per-block rate "
+                        "matching, one mixed-K device decode, CRC-24A/B")
+    _add_common(tb)
+    tb.add_argument("--a", type=int, default=12000, help="info bits per TB")
+    tb.add_argument("--n-tb", type=int, default=8)
+    tb.add_argument("--ebn0", type=float, nargs="+", default=[0.6, 0.8, 1.0])
+    tb.add_argument("--G", type=int, default=0,
+                    help="rate-matched channel bits per TB per transmission "
+                         "(0 = mother rate)")
+    tb.add_argument("--rv-seq", type=int, nargs="+", default=None)
+    tb.add_argument("--iters", type=int, default=6)
+    tb.add_argument("--mode", choices=["logmap", "maxlog", "linlog"],
+                    default="maxlog")
+    tb.add_argument("--siso", default="pallas")
+    tb.add_argument("--io-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    tb.add_argument("--nii", action="store_true")
+    tb.add_argument("--window", type=int, default=0)
+    tb.add_argument("--min-tb-errors", type=int, default=20)
+    tb.add_argument("--max-tbs", type=int, default=20_000)
+    tb.add_argument("--seed", type=int, default=0)
+    tb.add_argument("--results", default="results/tb.jsonl")
+    tb.add_argument("--no-resume", action="store_true")
 
     args = ap.parse_args(argv)
 
@@ -154,6 +192,7 @@ def main(argv=None):
                               decoder=dec, E=args.E, rv=args.rv,
                               rv_sequence=tuple(args.rv_seq or ()),
                               K_mix=tuple(args.k_mix or ()),
+                              E_mix=tuple(args.e_mix or ()),
                               modulation=args.modulation,
                               channel=args.channel,
                               use_crc=args.early_term == "crc",
@@ -210,8 +249,24 @@ def main(argv=None):
         from turbotpu.harness.c5 import run_c5
         rec = run_c5(K=args.k, B=args.batch, ebn0_db=args.ebn0,
                      n_iters=args.iters, data=args.data, seq=args.seq,
-                     siso=args.siso, verbose=False)
+                     siso=args.siso, io_dtype=args.io_dtype, nii=args.nii,
+                     window=args.window, boundary_xch=args.xch,
+                     verbose=False)
         print(json.dumps(rec))
+        return 0
+
+    if args.cmd == "tb":
+        from turbotpu.harness.tb import TBConfig, simulate_tbler
+        cfg = TBConfig(name=f"cli_tb_a{args.a}", A=args.a, n_tb=args.n_tb,
+                       ebn0_db_grid=tuple(args.ebn0), G=args.G,
+                       rv_sequence=tuple(args.rv_seq or (0,)),
+                       n_iters=args.iters, mode=args.mode, siso=args.siso,
+                       io_dtype=args.io_dtype, nii=args.nii,
+                       window=args.window,
+                       min_tb_errors=args.min_tb_errors,
+                       max_tbs=args.max_tbs, seed=args.seed)
+        simulate_tbler(cfg, results_path=args.results,
+                       resume=not args.no_resume)
         return 0
 
 

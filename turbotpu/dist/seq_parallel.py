@@ -279,6 +279,15 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
     `lax.ppermute` to the neighbor shard and extrinsics move through the
     partitioned all_to_all exchange each half-iteration.  The chunk
     recursion runs at kernel speed instead of lax.scan speed.
+
+    With cfg.nii the chunk kernel ALSO runs in NII mode internally
+    (round-2 VERDICT item 1): window-start alphas inside the chunk are
+    inherited from the previous half-iteration (nii_boundaries kernel
+    contract) -- the same stale-edge approximation the cross-chunk
+    ppermute already makes, applied at window granularity -- so the
+    sharded path runs at the monolithic NII flagship's per-chip speed
+    instead of two-phase speed.  With one window per chunk the NII and
+    exact chunk paths are identical by construction.
     """
     from ..siso.pallas_kernel import (BIG as PBIG, CELL, from_cells,
                                       siso_cells, to_cells)
@@ -286,11 +295,18 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
     n_seq = mesh.shape["seq"]
     K = cfg.K
     KT = K + 3
-    # Chunk length: a multiple of the kernel's window (128 for big chunks,
-    # UNROLL=8 for single-window small chunks).  Pad steps carry the
-    # known-0-bit metrics, so padded chunks are bit-exact at real positions.
+    # Chunk length: a multiple of the kernel's window (cfg.window or 128
+    # for big chunks, UNROLL=8 for single-window small chunks).  Pad steps
+    # carry the known-0-bit metrics, so padded chunks are bit-exact at
+    # real positions.
     c0 = -(-KT // n_seq)
-    C = _round_up(c0, 8) if c0 <= 248 else _round_up(c0, 128)
+    W = cfg.window or (128 if c0 > 248 else 0)
+    if W and c0 > W:
+        C = _round_up(c0, W)
+    else:
+        C = _round_up(c0, 8)
+        W = C                     # one window per chunk
+    n_win = C // W
     KTp = C * n_seq
     perm = np.asarray(cfg.perm())
     ext = np.arange(K, KTp, dtype=np.int64)
@@ -345,17 +361,36 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
         real_mask = ((j * C + jnp.arange(C)) < K)[None, :, None, None]
 
         def siso_chunk(ls_c, lp_c, la_c, a_in, b_in):
-            a0 = jnp.where(j == 0, e0, a_in)
             bT = jnp.where(j == n_seq - 1, e0, b_in)
-            le_c, a_out, b_out = siso_cells(
-                ls_c, lp_c, la_c, C, cfg.mode, scale,
-                boundaries=(a0, bT))
+            if cfg.nii:
+                # a_in: (cells, n_win, 8, 8, 128) per-window alpha starts,
+                # slot 0 = cross-chunk edge (exact e0 on the first chunk).
+                # NII composes at both granularities: window seams inherit
+                # last half-iteration's alphas, chunk seams ride ppermute.
+                ain = a_in.at[:, 0].set(jnp.where(j == 0, e0, a_in[:, 0]))
+                le_c, a_out, b_out = siso_cells(
+                    ls_c, lp_c, la_c, C, cfg.mode, scale,
+                    nii_boundaries=(ain, bT), window=W)
+            else:
+                a0 = jnp.where(j == 0, e0, a_in)
+                le_c, a_out, b_out = siso_cells(
+                    ls_c, lp_c, la_c, C, cfg.mode, scale,
+                    boundaries=(a0, bT), window=W)
             le_c = jnp.where(real_mask, le_c, jnp.zeros((), dt))
             return le_c, a_out, b_out
 
+        def roll_ain(edge_rx, a_out):
+            """Next half-iteration's window starts: received chunk edge
+            into slot 0, this call's window-end alphas shifted up."""
+            return jnp.concatenate([edge_rx[:, None], a_out[:, :-1]], axis=1)
+
         def exchange(a_out, b_out):
-            return (jax.lax.ppermute(a_out, "seq", fwd),
-                    jax.lax.ppermute(b_out, "seq", bwd))
+            if cfg.nii:
+                edge = jax.lax.ppermute(a_out[:, -1], "seq", fwd)
+                a_in = roll_ain(edge, a_out)
+            else:
+                a_in = jax.lax.ppermute(a_out, "seq", fwd)
+            return a_in, jax.lax.ppermute(b_out, "seq", bwd)
 
         def cond(carry):
             it = carry[0]
@@ -381,11 +416,15 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
                 # remote DMA, both betas one backward DMA, in flight
                 # simultaneously (dist/dma.py).
                 from .dma import boundary_exchange_dma
+                fa1, fa2 = (a1o[:, -1], a2o[:, -1]) if cfg.nii else (a1o, a2o)
                 fwd_rx, bwd_rx = boundary_exchange_dma(
-                    jnp.stack([a1o, a2o]), jnp.stack([b1o, b2o]), "seq",
-                    multi_axis=True)
+                    jnp.stack([fa1, fa2]), jnp.stack([b1o, b2o]), "seq",
+                    data_axis="data")
                 a1n, a2n = fwd_rx[0], fwd_rx[1]
                 b1n, b2n = bwd_rx[0], bwd_rx[1]
+                if cfg.nii:
+                    a1n = roll_ain(a1n, a1o)
+                    a2n = roll_ain(a2n, a2o)
             else:
                 a1n, b1n = exchange(a1o, b1o)
                 a2n, b2n = exchange(a2o, b2o)
@@ -419,9 +458,13 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             return (it + 1, le21, a1n, b1n, a2n, b2n, L, hard, done, iters,
                     undone_g)
 
+        # NII carries per-window alpha-start tables; exact mode carries
+        # chunk-edge metrics only.  Zeros = uniform cold start either way.
+        a_init = (jnp.zeros((n_cells, n_win, 8, 8, 128), jnp.float32)
+                  if cfg.nii else uni)
         init = (jnp.int32(0),
                 jnp.zeros((n_cells, C, 8, 128), dt),
-                uni, uni, uni, uni,
+                a_init, uni, a_init, uni,
                 jnp.zeros((n_cells, C, 8, 128), jnp.float32),
                 jnp.zeros((n_cells, C, 8, 128), jnp.int8),
                 jnp.zeros((n_cells, 8, 128), bool),

@@ -20,12 +20,19 @@ from ..spec.qpp import qpp_perm
 
 
 def make_decode_inputs(K: int, B: int, seed: int = 0, ebn0_db: float = 1.0,
-                       with_crc: bool = False):
-    """Host-side: one noisy encoded batch (tiled from a few codewords).
+                       with_crc: bool = False, n_unique: int = 64):
+    """Host-side: one noisy encoded batch.
+
+    Encoding cost is bounded by tiling n_unique distinct payloads to B,
+    but noise is drawn AFTER tiling, so every row is an i.i.d. channel
+    realization (round-2 VERDICT weak 1: noise-before-tiling made the
+    early-termination benchmark's while_loop exit on the max over only
+    n_unique distinct frames, inflating "effective throughput"; the
+    convergence tail of B independent frames is what that number means).
     with_crc attaches CRC-24A so CRC early termination has real frames."""
     from ..spec.crc import CRC24A_POLY, crc_attach
     rng = np.random.default_rng(seed)
-    n_base = min(B, 4)
+    n_base = min(B, n_unique)
     parts = [[] for _ in range(5)]
     perm = qpp_perm(K)
     for _ in range(n_base):
@@ -40,13 +47,12 @@ def make_decode_inputs(K: int, B: int, seed: int = 0, ebn0_db: float = 1.0,
     # full 3K+12 streams (never rate-matched batches), so the fixed /3 is
     # exact here; the BER harness derives rate from its SimConfig instead.
     sigma = np.sqrt(1 / (2 * 10 ** (ebn0_db / 10) / 3))
+    reps = -(-B // n_base)
     out = []
     for p in parts:
-        a = np.stack(p).astype(np.float64)
+        a = np.tile(np.stack(p).astype(np.float64), (reps, 1))[:B]
         y = (1 - 2 * a) + sigma * rng.normal(size=a.shape)
-        llr = 2 * y / sigma ** 2
-        reps = -(-B // n_base)
-        out.append(jnp.asarray(np.tile(llr, (reps, 1))[:B], jnp.float32))
+        out.append(jnp.asarray(2 * y / sigma ** 2, jnp.float32))
     return tuple(out)
 
 

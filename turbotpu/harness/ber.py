@@ -57,6 +57,13 @@ class SimConfig:
                                       # (bucketing.embedded_perm_tables).
                                       # () = homogeneous batch at K.
     E: int = 0                        # rate-matched length (0 = mother rate)
+    E_mix: tuple[int, ...] = ()       # per-K_mix rate-matched lengths
+                                      # (parallel to K_mix); empty with
+                                      # K_mix + E set derives each group's
+                                      # E_g proportionally (E * K_g / K),
+                                      # preserving the aggregate code rate
+                                      # -- the shape of TS 36.212 s5.1.4.3's
+                                      # per-code-block E_r split
     rv: int = 0
     rv_sequence: tuple[int, ...] = ()  # HARQ IR: redundancy versions of the
                                        # retransmissions soft-combined at the
@@ -98,13 +105,29 @@ class SimConfig:
         per_tx = -(-per_tx // m) * m
         return self.K / (per_tx * len(self.rvs))
 
-    def mixed_groups(self) -> list[tuple[int, int]]:
-        """Grouped (K, count) for a K_mix batch, ascending K.  Codewords
+    def e_mix_resolved(self) -> tuple[int, ...]:
+        """Per-K_mix rate-matched lengths; zeros = mother rate."""
+        if not self.K_mix:
+            return ()
+        if self.E_mix:
+            if len(self.E_mix) != len(self.K_mix):
+                raise ValueError(
+                    f"E_mix has {len(self.E_mix)} entries for "
+                    f"{len(self.K_mix)} K_mix entries")
+            return self.E_mix
+        if self.E:
+            return tuple(int(round(self.E * k / self.K)) for k in self.K_mix)
+        return (0,) * len(self.K_mix)
+
+    def mixed_groups(self) -> list[tuple[tuple[int, int], int]]:
+        """Grouped ((K, E), count) for a K_mix batch, ascending.  Codewords
         are generated group-contiguous (the batch is i.i.d., so ordering
         is statistically irrelevant; grouping keeps the tx chain to one
-        static shape per distinct K)."""
+        static shape per distinct (K, E))."""
         from collections import Counter
-        c = Counter(self.K_mix[i % len(self.K_mix)] for i in range(self.B))
+        es = self.e_mix_resolved()
+        c = Counter((self.K_mix[i % len(self.K_mix)],
+                     es[i % len(self.K_mix)]) for i in range(self.B))
         return sorted(c.items())
 
 
@@ -129,18 +152,20 @@ def make_step(cfg: SimConfig):
     perm = cfg.decoder.perm()
 
     if cfg.K_mix:
-        if cfg.E or cfg.rv_sequence:
-            raise NotImplementedError("K_mix + rate matching not supported")
         import dataclasses as _dc
         from ..decoder.bucketing import embedded_perm_tables
-        groups = cfg.mixed_groups()                    # [(K_g, count)] asc
-        Ks_g = np.concatenate([[k] * n for k, n in groups]).astype(np.int32)
+        groups = cfg.mixed_groups()                  # [((K_g, E_g), count)]
+        if cfg.rv_sequence and any(e == 0 for (_, e), _ in groups):
+            raise ValueError("rv_sequence (HARQ) needs rate matching: every "
+                             "K_mix group must resolve a nonzero E")
+        Ks_g = np.concatenate(
+            [[k] * n for (k, _), n in groups]).astype(np.int32)
         F_arr = (cfg.K - Ks_g).astype(np.int32)        # grouped row order
         pb, ib = embedded_perm_tables(list(Ks_g), cfg.K,
                                       cfg.decoder.interleaver)
         perm_b, inv_b = jnp.asarray(pb), jnp.asarray(ib)
         group_perms = {k: _dc.replace(cfg.decoder, K=k).perm()
-                       for k, _ in groups}
+                       for (k, _), _ in groups}
 
     @jax.jit
     def step(key: jax.Array, esn0_db: jax.Array):
@@ -160,6 +185,18 @@ def make_step(cfg: SimConfig):
     fading = cfg.channel == "rayleigh"
     if cfg.channel not in ("awgn", "rayleigh"):
         raise ValueError(f"unknown channel {cfg.channel!r}")
+
+    # Wire order: UMTS codewords ride the TS 25.212 section 4.2.3.1 per-bit
+    # interlace, LTE the TS 36.212 d-streams.  (Over a memoryless channel
+    # any fixed bit permutation is statistically equivalent; this makes
+    # the transmitted order WIRE-EXACT per spec rather than equivalent.)
+    umts_wire = cfg.decoder.interleaver == "umts"
+    if umts_wire and (cfg.E or cfg.E_mix):
+        raise ValueError("rate matching (TS 36.212) is defined on LTE "
+                         "d-streams; UMTS wire order is mother-rate only")
+    from ..tx.rate_match_jax import umts_demux_jax, umts_mux_jax
+    mux = umts_mux_jax if umts_wire else lte_mux_jax
+    demux = umts_demux_jax if umts_wire else lte_demux_jax
 
     def _channel(kn: jax.Array, tx_bits: jax.Array, esn0_db: jax.Array):
         """modulate -> channel -> demap; pads to whole symbols for m > 1."""
@@ -197,7 +234,7 @@ def make_step(cfg: SimConfig):
         bits = (chain.crc_attach_batch(payload, cfg.decoder.crc_poly)
                 if cfg.use_crc else payload)
         enc = chain.turbo_encode(bits, perm)
-        d_flat = lte_mux_jax(*enc).astype(jnp.float32)
+        d_flat = mux(*enc).astype(jnp.float32)
         if cfg.E:
             # One or more (HARQ IR) transmissions of the circular buffer;
             # each rv window sees fresh noise, the receiver scatter-adds
@@ -209,7 +246,7 @@ def make_step(cfg: SimConfig):
                 llr_d = llr_d + de_rate_match_jax(llr, cfg.K, v)
         else:
             llr_d = _channel(kn, d_flat, esn0_db)
-        hard, iters, _ = turbo_decode(*lte_demux_jax(llr_d), cfg.decoder)
+        hard, iters, _ = turbo_decode(*demux(llr_d), cfg.decoder)
         err = hard != bits
         bit_errs = jnp.sum(err, dtype=jnp.int32)
         frame_err_mask = jnp.any(err, axis=1)
@@ -218,25 +255,41 @@ def make_step(cfg: SimConfig):
 
     def _one_batch_mixed(key: jax.Array, esn0_db: jax.Array):
         """TRUE mixed-K batch: each group is encoded with its own
-        interleaver, transmitted at its own 3K+12 mother-rate length and
-        per-K rate-adjusted Es/N0, then embedded into the K bucket with
-        leading known-filler LLRs (+BIG systematic / 0 parity) and decoded
-        in ONE call through per-codeword permutation tables."""
+        interleaver, rate-matched to its own E_g (or transmitted at its
+        3K+12 mother rate), sent at its per-group rate-adjusted Es/N0,
+        then embedded into the K bucket with leading known-filler LLRs
+        (+BIG systematic / 0 parity) and decoded in ONE call through
+        per-codeword permutation tables."""
+        m_bps = qam.BITS_PER_SYMBOL[cfg.modulation]
         ls_l, lp1_l, lp2_l, t1_l, t2_l, bits_l = [], [], [], [], [], []
-        for K_g, n_g in groups:
-            kp, kn = jax.random.split(jax.random.fold_in(key, K_g))
+        for (K_g, E_g), n_g in groups:
+            kp, kn = jax.random.split(
+                jax.random.fold_in(key, K_g * 8 + E_g % 8))
             np_g = K_g - 24 if cfg.use_crc else K_g
             payload = chain.gen_payload(kp, n_g, np_g)
             bits = (chain.crc_attach_batch(payload, cfg.decoder.crc_poly)
                     if cfg.use_crc else payload)
-            d_flat = lte_mux_jax(*chain.turbo_encode(
+            d_flat = mux(*chain.turbo_encode(
                 bits, group_perms[K_g])).astype(jnp.float32)
-            # Per-group mother rate K/(3K+12): the honest per-block
-            # Eb/N0 -> Es/N0 conversion (esn0_db here carries only the
+            # Per-group rate K_g / channel bits, counting the zero-pad to
+            # whole modulation symbols and HARQ retransmissions -- the
+            # honest per-block Eb/N0 -> Es/N0 conversion, mirroring
+            # SimConfig.rate (esn0_db here carries only the
             # bits-per-symbol factor, see _ebn0_to_esn0_db).
-            esn0_g = esn0_db + 10 * np.log10(K_g / (3 * K_g + 12))
-            llr_d = _channel(kn, d_flat, esn0_g)
-            ls, lp1, lp2, t1, t2 = lte_demux_jax(llr_d)
+            per_tx = E_g if E_g else 3 * K_g + 12
+            per_tx = -(-per_tx // m_bps) * m_bps
+            esn0_g = esn0_db + 10 * np.log10(
+                K_g / (per_tx * (len(cfg.rvs) if E_g else 1)))
+            if E_g:
+                llr_d = jnp.zeros_like(d_flat)
+                for kv, v in zip(jax.random.split(kn, len(cfg.rvs)),
+                                 cfg.rvs):
+                    tx_bits = rate_match_jax(d_flat, E_g, v)
+                    llr = _channel(kv, tx_bits, esn0_g)
+                    llr_d = llr_d + de_rate_match_jax(llr, K_g, v)
+            else:
+                llr_d = _channel(kn, d_flat, esn0_g)
+            ls, lp1, lp2, t1, t2 = demux(llr_d)
             Fg = cfg.K - K_g
             ls_l.append(jnp.pad(ls, ((0, 0), (Fg, 0)),
                                 constant_values=BIG_LLR))

@@ -56,7 +56,9 @@ def make_batch(K: int, B: int, ebn0_db: float, seed: int, interleaver="lte",
 def run_c5(K: int = 6144, B: int = 4096, ebn0_db: float = 0.8,
            n_iters: int = 6, data: int | None = None, seq: int = 2,
            n_timed: int = 4, seed: int = 0, verbose: bool = True,
-           siso: str = "pallas", io_dtype: str = "bfloat16") -> dict:
+           siso: str = "pallas", io_dtype: str = "bfloat16",
+           nii: bool = False, window: int = 0,
+           boundary_xch: str = "ppermute") -> dict:
     multi = init_distributed()
     n_dev = len(jax.devices())
     if data is None:
@@ -66,7 +68,8 @@ def run_c5(K: int = 6144, B: int = 4096, ebn0_db: float = 0.8,
         data = n_dev
     mesh = make_mesh(data=data, seq=seq)
     cfg = DecoderConfig(K=K, n_iters=n_iters, mode="maxlog", ext_scale=0.75,
-                        early_term="crc", siso=siso, io_dtype=io_dtype)
+                        early_term="crc", siso=siso, io_dtype=io_dtype,
+                        nii=nii, window=window, boundary_xch=boundary_xch)
     decode = decode_seq_sharded(mesh, cfg)
     count = count_errors_sharded(mesh)
 
@@ -103,6 +106,8 @@ def run_c5(K: int = 6144, B: int = 4096, ebn0_db: float = 0.8,
     wall = max(wall - floor, 1e-9) / reps
     rec = {
         "K": K, "B": B, "mesh": {"data": data, "seq": seq},
+        "siso": siso, "nii": nii, "window": window, "io_dtype": io_dtype,
+        "boundary_xch": boundary_xch,
         "processes": jax.process_count(), "devices": n_dev,
         "ebn0_db": ebn0_db, "bit_errs": bit, "frame_errs": frame,
         "ber": bit / (B * K), "fer": frame / B,

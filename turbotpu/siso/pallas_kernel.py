@@ -151,13 +151,31 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
     half-iteration stale at window seams, healing one window per
     iteration.  Cuts compute ~20% and stream reads ~50% vs the exact
     two-phase kernel.
+
+    With boundary=True AND nii=True (the seq-parallel chunk contract,
+    round-2 VERDICT item 1): NII at BOTH granularities.  Phase 1 is
+    dropped; window-start alphas come from ain where slot 0 is the
+    CROSS-CHUNK edge the caller received from its neighbor shard (exact
+    e0 on the first chunk -- caller's responsibility), and beta starts
+    from the caller-provided chunk-end edge bT (exact e0 on the last
+    chunk).  Outputs: aout[w] = this half-iteration's alpha at the END of
+    window w (so aout[:-1] are the next call's ain[1:], and aout[-1] is
+    the chunk edge to ship to the neighbor), plus bout = beta at the
+    chunk start (ships to the other neighbor).  With one window per
+    chunk this is bit-identical to the exact boundary mode -- the same
+    stale-edge approximation at chunk granularity -- and with multiple
+    windows it runs at NII speed instead of two-phase speed.
     """
     n_sub = W // UNROLL
     assert W % UNROLL == 0
-    assert not (boundary and nii), "nii composes with monolithic decode only"
 
     def kernel(*refs):
-        if boundary:
+        if boundary and nii:
+            (ls_hbm, lp_hbm, la_hbm, ain_ref, bT_ref,
+             le_hbm, aout_ref, bout_ref,
+             ls_buf, lp_buf, la_buf, aw, le_buf,
+             ls_sem, lp_sem, la_sem, o_sem) = refs
+        elif boundary:
             (ls_hbm, lp_hbm, la_hbm, a0_ref, bT_ref,
              le_hbm, aout_ref, bout_ref,
              ls_buf, lp_buf, la_buf, ckpt, aw, le_buf,
@@ -211,8 +229,9 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
             return out
 
         if boundary:
-            alpha_init = tuple(a0_ref[0, s] for s in range(8))
             beta_init = tuple(bT_ref[0, s] for s in range(8))
+            alpha_init = (None if nii
+                          else tuple(a0_ref[0, s] for s in range(8)))
         else:
             alpha_init = _init_e0()
             beta_init = _init_e0()
@@ -256,7 +275,11 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
                 start_in(jax.lax.rem(w + 1, 2), w - 1)
 
             wait_in(slot, w)
-            if nii:
+            if nii and boundary:
+                # Seq-parallel chunk: slot 0 carries the caller-provided
+                # cross-chunk edge, so no in-kernel e0 special case.
+                alpha = tuple(ain_ref[0, w, s] for s in range(8))
+            elif nii:
                 # Stale-by-one-half-iteration window start (exact e0 at the
                 # true trellis head); emit this window's end metric as the
                 # next half-iteration's start for window w+1.
@@ -276,7 +299,10 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
                 return _renorm(alpha)
 
             alpha_end = jax.lax.fori_loop(0, n_sub, rec_body, alpha)
-            if nii:
+            if nii and boundary:
+                for s in range(8):
+                    aout_ref[0, w, s] = alpha_end[s]
+            elif nii:
                 @pl.when(w + 1 < n_win)
                 def _():
                     for s in range(8):
@@ -325,19 +351,23 @@ def _build_call(n_cells: int, KTp: int, W: int, mode: str, K_real: int,
                            memory_space=pltpu.VMEM)
     ckpt_spec = pl.BlockSpec((1, n_win, 8, 8, 128), lambda c: (c, 0, 0, 0, 0),
                              memory_space=pltpu.VMEM)
+    edge_shape = jax.ShapeDtypeStruct((n_cells, 8, 8, 128), jnp.float32)
+    ckpt_shape = jax.ShapeDtypeStruct((n_cells, n_win, 8, 8, 128),
+                                      jnp.float32)
     in_specs = [stream] * 3
-    if boundary:
-        in_specs += [edge_in] * 2
-    elif nii:
-        in_specs += [ckpt_spec]
     out_shape = [jax.ShapeDtypeStruct((n_cells, KTp, 8, 128), dt)]
     out_specs = [stream]
-    if boundary:
-        out_shape += [jax.ShapeDtypeStruct((n_cells, 8, 8, 128), jnp.float32)] * 2
+    if boundary and nii:
+        in_specs += [ckpt_spec, edge_in]           # ain, bT
+        out_shape += [ckpt_shape, edge_shape]      # aout, bout
+        out_specs += [ckpt_spec, edge_in]
+    elif boundary:
+        in_specs += [edge_in] * 2
+        out_shape += [edge_shape] * 2
         out_specs += [edge_in] * 2
     elif nii:
-        out_shape += [jax.ShapeDtypeStruct((n_cells, n_win, 8, 8, 128),
-                                           jnp.float32)]
+        in_specs += [ckpt_spec]
+        out_shape += [ckpt_shape]
         out_specs += [ckpt_spec]
     scratch = [
         pltpu.VMEM((2, W, 8, 128), dt),               # ls window buffers
@@ -390,6 +420,7 @@ def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
                boundaries: tuple[jax.Array, jax.Array] | None = None,
                interpret: bool | None = None,
                nii_ckpt: jax.Array | None = None,
+               nii_boundaries: tuple[jax.Array, jax.Array] | None = None,
                window: int = 0):
     """Cell-layout kernel entry: raw LLR streams in, extrinsics out.
 
@@ -410,6 +441,15 @@ def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
     Cold-start with zeros (uniform metrics).  Mutually exclusive with
     boundaries.
 
+    nii_boundaries: optional (ain, bT) -- the seq-parallel chunk contract
+    combining both: ain is a (cells, n_win, 8, 8, 128) fp32 window-start
+    table whose slot 0 carries the CROSS-CHUNK alpha edge (pass exact e0
+    there on the first chunk), bT is the (cells, 8, 8, 128) chunk-end
+    beta edge.  Returns (le, aout, bout) where aout[w] is alpha at the
+    end of window w (aout[:, :-1] roll into the next call's ain[:, 1:];
+    aout[:, -1] is the outgoing chunk edge) and bout is beta at the
+    chunk start.  Mutually exclusive with the other two.
+
     The LLR streams may be bfloat16 (le comes back in the same dtype;
     metrics stay fp32 in VMEM) -- the kernel is HBM-bandwidth-bound, so
     halving stream bytes buys real throughput.  Boundary metrics are
@@ -419,12 +459,16 @@ def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
         interpret = jax.default_backend() != "tpu"
     n_cells, KTp = ls_cells.shape[:2]
     assert ls_cells.dtype == lp_cells.dtype == la_cells.dtype
+    assert (boundaries is not None) + (nii_ckpt is not None) \
+        + (nii_boundaries is not None) <= 1
     W = window or window_len(KTp)
     assert KTp % W == 0 and W % UNROLL == 0
     call = _build_call(n_cells, KTp, W, mode, K_real, float(scale),
-                       boundaries is not None, interpret,
-                       io_dtype=str(ls_cells.dtype),
-                       nii=nii_ckpt is not None)
+                       boundaries is not None or nii_boundaries is not None,
+                       interpret, io_dtype=str(ls_cells.dtype),
+                       nii=nii_ckpt is not None or nii_boundaries is not None)
+    if nii_boundaries is not None:
+        return call(ls_cells, lp_cells, la_cells, *nii_boundaries)
     if boundaries is not None:
         return call(ls_cells, lp_cells, la_cells, *boundaries)
     if nii_ckpt is not None:

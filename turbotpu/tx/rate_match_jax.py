@@ -31,6 +31,27 @@ def lte_mux_jax(sys, par1, par2, tail1, tail2) -> jax.Array:
     return jnp.concatenate([d0, d1, d2], axis=1)
 
 
+def umts_mux_jax(sys, par1, par2, tail1, tail2) -> jax.Array:
+    """Batched canonical -> UMTS wire order (B, 3K+12).
+
+    TS 25.212 section 4.2.3.1 (golden/numpy_ref.umts_mux): per-bit
+    interlace x1 z1 z'1 x2 z2 z'2 ... xK zK z'K, then the 12 tail bits
+    x_K+1 z_K+1 x_K+2 z_K+2 x_K+3 z_K+3 then encoder 2's tail.
+    """
+    B, K = sys.shape
+    body = jnp.stack([sys, par1, par2], axis=2).reshape(B, 3 * K)
+    return jnp.concatenate([body, tail1, tail2], axis=1)
+
+
+def umts_demux_jax(wire: jax.Array):
+    """Batched UMTS wire order (B, 3K+12) -> canonical LLR parts."""
+    B = wire.shape[0]
+    K = (wire.shape[1] - 12) // 3
+    body = wire[:, :3 * K].reshape(B, K, 3)
+    return (body[:, :, 0], body[:, :, 1], body[:, :, 2],
+            wire[:, 3 * K:3 * K + 6], wire[:, 3 * K + 6:])
+
+
 def lte_demux_jax(d_flat: jax.Array):
     """Batched flat d-streams (B, 3*(K+4)) -> canonical LLR parts."""
     D = d_flat.shape[1] // 3
