@@ -18,6 +18,17 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent XLA compile cache: the suite's cost is dominated by XLA:CPU
+# compiles of interpret-mode Pallas decode programs (~10-25 s each,
+# measured; execution is seconds).  Caching them makes warm reruns of the
+# fast tier several times faster; the cache key includes jaxpr + flags,
+# so stale hits are not a correctness risk.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax-turbotpu-tests"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
 
 import pytest
 

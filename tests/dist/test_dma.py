@@ -93,9 +93,9 @@ def _decode_both_xch(nii: bool):
     from turbotpu.dist.seq_parallel import decode_seq_sharded
 
     mesh = make_mesh(data=2, seq=4)
-    cfg = DecoderConfig(K=320, n_iters=2, mode="maxlog", siso="pallas",
+    cfg = DecoderConfig(K=168, n_iters=2, mode="maxlog", siso="pallas",
                         early_term="crc", nii=nii)
-    inputs = make_decode_inputs(320, 8, seed=3)
+    inputs = make_decode_inputs(168, 8, seed=3)
     outs = []
     for xch in ("ppermute", "dma"):
         dec = decode_seq_sharded(mesh, dataclasses.replace(

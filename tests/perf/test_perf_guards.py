@@ -67,3 +67,15 @@ def test_throughput_floor_tpu():
                         siso="pallas")
     rec = bench_decode(cfg, 1024, n_timed=8)
     assert rec["mbit_per_s"] > 500, rec
+
+
+def test_bench_inputs_are_iid_noise_after_tiling():
+    """Round-2 VERDICT weak 1 regression: the effective-throughput
+    benchmark must see B i.i.d. noisy frames, not tiled copies of a few
+    noise realizations -- every row must be a distinct channel draw even
+    when payloads repeat."""
+    import numpy as np
+    from turbotpu.harness.bench import make_decode_inputs
+    out = make_decode_inputs(104, 96, seed=0, with_crc=True)
+    ls = np.asarray(out[0])
+    assert len({ls[i].tobytes() for i in range(96)}) == 96

@@ -59,7 +59,7 @@ def _embed(parts, K_true, K_bucket):
 def test_embedded_decode_equals_native(siso):
     K_true, K_bucket, B = 40, 104, 8
     bits, parts = _tx_rx(K_true, B, esn0_db=1.0, seed=0)
-    cfg_n = DecoderConfig(K=K_true, n_iters=4, mode="logmap", siso=siso)
+    cfg_n = DecoderConfig(K=K_true, n_iters=3, mode="logmap", siso=siso)
     hard_n, it_n, L_n = turbo_decode(*parts, cfg_n)
 
     phi, inv = embedded_perm_tables([K_true] * B, K_bucket, "lte")
@@ -132,7 +132,7 @@ def test_harness_mixed_k_pallas_matches_scan():
     esn0 = jnp.float32(3.0 + 10 * np.log10(1.0))
     outs = []
     for siso in ("scan", "pallas"):
-        cfg = SimConfig(decoder=DecoderConfig(K=104, n_iters=3, siso=siso),
+        cfg = SimConfig(decoder=DecoderConfig(K=104, n_iters=2, siso=siso),
                         **common)
         step = make_step(cfg)
         outs.append(tuple(int(x) for x in step(jax.random.key(5), esn0)))

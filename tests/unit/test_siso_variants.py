@@ -46,8 +46,10 @@ def test_ascan_matches_scan(mode):
                                rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("mode", ["logmap", "maxlog"])
-@pytest.mark.parametrize("K", [40, 104])
+# One (K, mode) pair per distinct compiled kernel config: both modes and
+# both window shapes stay covered while halving the interpret compiles
+# (the suite's dominant cost).
+@pytest.mark.parametrize("K,mode", [(40, "maxlog"), (104, "logmap")])
 def test_pallas_matches_scan(K, mode):
     ls, lp, la = _inputs(K, 2, seed=K)
     L1, Le1 = siso_decode_scan(ls, lp, la, mode=mode)

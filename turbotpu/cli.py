@@ -25,7 +25,8 @@ def main(argv=None):
 
     ber = sub.add_parser("ber", help="Monte-Carlo BER/FER sweep")
     _add_common(ber)
-    ber.add_argument("--config", choices=["c1", "c2", "c3", "c4", "c5"])
+    ber.add_argument("--config",
+                     choices=["c1", "c2", "c3", "c3rm", "c4", "c5"])
     ber.add_argument("--k", type=int, default=1024)
     ber.add_argument("--batch", type=int, default=32)
     ber.add_argument("--iters", type=int, default=8)
@@ -140,11 +141,18 @@ def main(argv=None):
     c5.add_argument("--xch", default="ppermute",
                     choices=["ppermute", "dma"],
                     help="boundary-metric exchange backend")
+    c5.add_argument("--early-term", choices=["none", "crc", "sign"],
+                    default="crc",
+                    help="none = fixed-iteration lean loop (the "
+                         "throughput-comparable mode)")
 
     tb = sub.add_parser("tb", help="transport-block Monte-Carlo: TB > 6144 "
                         "bits through segmentation, per-block rate "
                         "matching, one mixed-K device decode, CRC-24A/B")
     _add_common(tb)
+    tb.add_argument("--config", choices=["c6"],
+                    help="run the named acceptance config instead of "
+                         "the ad-hoc flags")
     tb.add_argument("--a", type=int, default=12000, help="info bits per TB")
     tb.add_argument("--n-tb", type=int, default=8)
     tb.add_argument("--ebn0", type=float, nargs="+", default=[0.6, 0.8, 1.0])
@@ -168,8 +176,16 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
 
+    import jax
+    try:
+        # Persistent compile cache: the fused decode chains take minutes
+        # to compile cold; cached runs start in seconds (bench.py does
+        # the same).
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     if getattr(args, "platform", None):
-        import jax
         jax.config.update("jax_platforms", args.platform)
 
     from turbotpu.decoder.turbo import DecoderConfig
@@ -251,12 +267,17 @@ def main(argv=None):
                      n_iters=args.iters, data=args.data, seq=args.seq,
                      siso=args.siso, io_dtype=args.io_dtype, nii=args.nii,
                      window=args.window, boundary_xch=args.xch,
-                     verbose=False)
+                     early_term=args.early_term, verbose=False)
         print(json.dumps(rec))
         return 0
 
     if args.cmd == "tb":
         from turbotpu.harness.tb import TBConfig, simulate_tbler
+        if args.config:
+            from configs.acceptance import ALL
+            simulate_tbler(ALL[args.config], results_path=args.results,
+                           resume=not args.no_resume)
+            return 0
         cfg = TBConfig(name=f"cli_tb_a{args.a}", A=args.a, n_tb=args.n_tb,
                        ebn0_db_grid=tuple(args.ebn0), G=args.G,
                        rv_sequence=tuple(args.rv_seq or (0,)),

@@ -392,24 +392,7 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
                 a_in = jax.lax.ppermute(a_out, "seq", fwd)
             return a_in, jax.lax.ppermute(b_out, "seq", bwd)
 
-        def cond(carry):
-            it = carry[0]
-            undone_g = carry[-1]
-            return (it < cfg.n_iters) & (undone_g > 0)
-
-        def body(carry):
-            (it, le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters,
-             _) = carry
-            # Extrinsics stay unscaled; the kernel applies `scale` to its
-            # a-priori input, exactly as in decoder/turbo_cells.py.
-            le1, a1o, b1o = siso_chunk(ls1_c, lp1_c, le21, a1, b1)
-            le2, a2o, b2o = siso_chunk(ls2_c, lp2_c, xch_perm(le1, j),
-                                       a2, b2)
-            le21_new = xch_inv(le2, j)
-            f32 = jnp.float32
-            L_new = (ls1_c.astype(f32)
-                     + scale * (le1.astype(f32) + le21_new.astype(f32)))
-            hard_new = (L_new < 0).astype(jnp.int8)
+        def xch_edges(a1o, b1o, a2o, b2o):
             if cfg.boundary_xch == "dma" and n_seq > 1:
                 # One Pallas kernel ships the whole iteration's boundary
                 # traffic: both SISOs' alpha metrics ride one forward
@@ -428,6 +411,58 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             else:
                 a1n, b1n = exchange(a1o, b1o)
                 a2n, b2n = exchange(a2o, b2o)
+            return a1n, b1n, a2n, b2n
+
+        def full_llr(le1, le21):
+            f32 = jnp.float32
+            return (ls1_c.astype(f32)
+                    + scale * (le1.astype(f32) + le21.astype(f32)))
+
+        # NII carries per-window alpha-start tables; exact mode carries
+        # chunk-edge metrics only.  Zeros = uniform cold start either way.
+        a_init = (jnp.zeros((n_cells, n_win, 8, 8, 128), jnp.float32)
+                  if cfg.nii else uni)
+
+        if cfg.early_term == "none":
+            # Lean loop (decoder/turbo_cells.py convention): no per-
+            # iteration L/hard/freeze HBM tensors -- outputs once after.
+            def body_lean(carry):
+                it, le21, le1p, a1, b1, a2, b2 = carry
+                le1, a1o, b1o = siso_chunk(ls1_c, lp1_c, le21, a1, b1)
+                le2, a2o, b2o = siso_chunk(ls2_c, lp2_c, xch_perm(le1, j),
+                                           a2, b2)
+                le21n = xch_inv(le2, j)
+                a1n, b1n, a2n, b2n = xch_edges(a1o, b1o, a2o, b2o)
+                return it + 1, le21n, le1, a1n, b1n, a2n, b2n
+
+            zT = jnp.zeros((n_cells, C, 8, 128), dt)
+            _, le21, le1, _, _, _, _ = jax.lax.while_loop(
+                lambda c: c[0] < cfg.n_iters, body_lean,
+                (jnp.int32(0), zT, zT, a_init, uni, a_init, uni))
+            L_c = full_llr(le1, le21)
+            hard_c = (L_c < 0).astype(jnp.int8)
+            hard = jax.lax.all_gather(hard_c, "seq", axis=1, tiled=True)
+            L = jax.lax.all_gather(L_c, "seq", axis=1, tiled=True)
+            iters_b = jnp.full((B,), cfg.n_iters, jnp.int32)
+            return from_cells(hard)[:B, :K], iters_b, from_cells(L)[:B, :K]
+
+        def cond(carry):
+            it = carry[0]
+            undone_g = carry[-1]
+            return (it < cfg.n_iters) & (undone_g > 0)
+
+        def body(carry):
+            (it, le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters,
+             _) = carry
+            # Extrinsics stay unscaled; the kernel applies `scale` to its
+            # a-priori input, exactly as in decoder/turbo_cells.py.
+            le1, a1o, b1o = siso_chunk(ls1_c, lp1_c, le21, a1, b1)
+            le2, a2o, b2o = siso_chunk(ls2_c, lp2_c, xch_perm(le1, j),
+                                       a2, b2)
+            le21_new = xch_inv(le2, j)
+            L_new = full_llr(le1, le21_new)
+            hard_new = (L_new < 0).astype(jnp.int8)
+            a1n, b1n, a2n, b2n = xch_edges(a1o, b1o, a2o, b2o)
 
             if cfg.early_term == "crc":
                 # Shard-local partial syndrome, psum'd over 'seq' (GF(2)
@@ -458,10 +493,6 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             return (it + 1, le21, a1n, b1n, a2n, b2n, L, hard, done, iters,
                     undone_g)
 
-        # NII carries per-window alpha-start tables; exact mode carries
-        # chunk-edge metrics only.  Zeros = uniform cold start either way.
-        a_init = (jnp.zeros((n_cells, n_win, 8, 8, 128), jnp.float32)
-                  if cfg.nii else uni)
         init = (jnp.int32(0),
                 jnp.zeros((n_cells, C, 8, 128), dt),
                 a_init, uni, a_init, uni,
