@@ -88,6 +88,14 @@ def main(argv=None):
     bench.add_argument("--ebn0", type=float, default=1.0,
                        help="operating Eb/N0 for early-term benchmarks")
     bench.add_argument("--reps", type=int, default=10)
+    bench.add_argument("--compact", type=int, default=0, metavar="S1_ITERS",
+                       help="sweep-level convergence compaction: decode "
+                            "super-batches at this stage-1 iteration cap, "
+                            "re-batch CRC failures densely, finish at the "
+                            "full cap (requires --early-term crc; "
+                            "harness/compact.py)")
+    bench.add_argument("--n-super", type=int, default=8,
+                       help="super-batches per compaction pass")
     bench.add_argument("--profile", default=None,
                        help="write a jax.profiler trace to this directory")
 
@@ -225,6 +233,13 @@ def main(argv=None):
                             siso=args.siso, window=args.window,
                             io_dtype=args.io_dtype, nii=args.nii,
                             early_term=args.early_term)
+        if args.compact:
+            from turbotpu.harness.compact import bench_compaction
+            rec = bench_compaction(cfg, args.batch, args.ebn0,
+                                   n_super=args.n_super,
+                                   stage1_iters=args.compact)
+            print(json.dumps(rec))
+            return 0
         if args.profile:
             import jax
             rec = bench_decode(cfg, args.batch, n_timed=2)

@@ -1,0 +1,224 @@
+"""Sweep-level convergence compaction (SURVEY.md section 8 hard part 6;
+round-2 VERDICT item 7's remaining lever).
+
+At a CRC-early-termination operating point the batched while_loop exits
+when the LAST of B i.i.d. frames converges, so batch cost is the MAX
+iteration count over the batch (~7-8 at the 1.0 dB point) while the MEAN
+is ~3.6.  Per SURVEY hard part 6 the fix is host-side re-batching between
+sweep steps, never inside the jit: decode every super-batch with a small
+iteration cap first, then gather the frames whose CRC still fails across
+all super-batches into dense full-size batches and finish them at the
+full cap.
+
+Output equivalence (exact, not statistical): a frame that passes CRC
+within the stage-1 cap is frozen with the same hard decision the
+single-stage decoder would freeze; a deferred frame is re-decoded from
+scratch at the full cap, which is the same computation the single-stage
+decoder performs on it (the turbo iteration has no state other than the
+extrinsics it rebuilds deterministically, and per-frame freezing is
+branchless).  So compaction returns bit-identical hard decisions to
+`turbo_decode` at the full cap -- asserted in
+tests/unit/test_compaction.py -- while spending mean-not-max iterations
+on the converged majority.
+
+Host round-trips: ONE (B,)-bool fetch per super-batch (the undone mask)
+plus one scalar per stage-2 batch.  Under the axon tunnel each fetch
+costs the ~38 ms round-trip floor, which would swamp the ~2.4 ms
+decodes; a production host pays microseconds.  bench_compaction
+therefore reports both raw wall time and the tunnel-corrected time
+(floor measured and subtracted per fetch, the same discipline as
+harness.bench).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decoder.early_term import crc_ok_batch, make_crc_matrix
+from ..decoder.turbo import DecoderConfig, turbo_decode
+from .bench import _timed, measure_roundtrip
+
+
+def _stage_fns(cfg1: DecoderConfig, cfg2: DecoderConfig):
+    """Two compiled programs: capped first pass and full-cap finish."""
+    G = make_crc_matrix(cfg1.K, cfg1.crc_poly)
+
+    @jax.jit
+    def stage1(inputs, bits_ref):
+        hard, iters, _ = turbo_decode(*inputs, cfg1)
+        undone = ~crc_ok_batch(hard, G)
+        errs = (hard != bits_ref).astype(jnp.int32)
+        conv = ~undone
+        bitc = (errs * conv[:, None].astype(jnp.int32)).sum()
+        framec = ((errs.sum(axis=1) > 0) & conv).sum()
+        return bitc, framec, undone, (iters * conv).sum(), hard
+
+    @jax.jit
+    def stage2(flat_inputs, idx, valid, flat_bits):
+        gathered = tuple(jnp.take(x, idx, axis=0) for x in flat_inputs)
+        bits_ref = jnp.take(flat_bits, idx, axis=0)
+        hard, iters, _ = turbo_decode(*gathered, cfg2)
+        errs = (hard != bits_ref).astype(jnp.int32)
+        v = valid.astype(jnp.int32)
+        bitc = (errs * v[:, None]).sum()
+        framec = ((errs.sum(axis=1) > 0) & valid).sum()
+        return bitc, framec, (iters * v).sum(), hard
+
+    return stage1, stage2
+
+
+def decode_compacted(inputs_list, bits_list, cfg: DecoderConfig,
+                     stage1_iters: int = 3, flat=None, keep_hard=False):
+    """Decode a list of (ls, lp1, lp2, t1, t2) batches with two-stage
+    convergence compaction.
+
+    flat: optional precomputed (flat_inputs, flat_bits) -- the
+    super-batches concatenated along axis 0 -- so repeated benchmark
+    passes do not re-copy ~1 GB of LLRs each run.
+    keep_hard: fetch and merge hard decisions (the equivalence-test path;
+    costs a (B, K) transfer per batch, so benchmarks leave it off).
+
+    Returns (bit_errs, frame_errs, converged_iters_total,
+    n_stage2_batches, hard_list | None, n_deferred)."""
+    assert cfg.early_term == "crc", "compaction needs CRC early termination"
+    cfg1 = dataclasses.replace(cfg, n_iters=stage1_iters)
+    stage1, stage2 = _stage_fns(cfg1, cfg)
+    B = inputs_list[0][0].shape[0]
+
+    bit_t = frame_t = iters_t = 0
+    deferred = []          # flat row indices into the stacked super-batch
+    hards = [] if keep_hard else None
+    for i, (inp, bits) in enumerate(zip(inputs_list, bits_list)):
+        bitc, framec, undone, it1, hard = stage1(inp, bits)
+        mask = np.asarray(undone)               # ONE small fetch per batch
+        bit_t += int(bitc)
+        frame_t += int(framec)
+        iters_t += int(it1)
+        deferred.extend(i * B + j for j in np.nonzero(mask)[0])
+        if keep_hard:
+            hards.append(np.array(hard))      # writable copy: stage2 merges
+
+    n2 = 0
+    if deferred:
+        if flat is None:
+            flat = (tuple(jnp.concatenate([inp[k] for inp in inputs_list],
+                                          axis=0) for k in range(5)),
+                    jnp.concatenate(bits_list, axis=0))
+        flat_inputs, flat_bits = flat
+        dev = np.asarray(deferred, np.int32)
+        n2 = -(-len(dev) // B)
+        pad = np.zeros(n2 * B - len(dev), np.int32)
+        idx_all = np.concatenate([dev, pad])
+        valid_all = np.concatenate([np.ones(len(dev), bool),
+                                    np.zeros(len(pad), bool)])
+        for b in range(n2):
+            idx = jnp.asarray(idx_all[b * B:(b + 1) * B])
+            valid = jnp.asarray(valid_all[b * B:(b + 1) * B])
+            bitc, framec, it2, hard2 = stage2(flat_inputs, idx, valid,
+                                              flat_bits)
+            bit_t += int(bitc)
+            frame_t += int(framec)
+            iters_t += int(it2)
+            if keep_hard:
+                h2 = np.asarray(hard2)
+                for r in range(B):
+                    if valid_all[b * B + r]:
+                        g = int(idx_all[b * B + r])
+                        hards[g // B][g % B] = h2[r]
+    return bit_t, frame_t, iters_t, n2, hards, len(deferred)
+
+
+def make_crc_batches(K: int, B: int, n_super: int, ebn0_db: float,
+                     seed: int = 0, n_base: int = 64):
+    """n_super device batches of CRC-attached frames; unique payloads
+    tiled to B with i.i.d. noise drawn AFTER tiling (harness.bench
+    methodology)."""
+    from ..golden import numpy_ref as npr
+    from ..spec.crc import CRC24A_POLY, crc_attach
+    from ..spec.qpp import qpp_perm
+
+    rng = np.random.default_rng(seed)
+    perm = qpp_perm(K)
+    base_bits, base_parts = [], [[] for _ in range(5)]
+    for _ in range(min(B, n_base)):
+        row = crc_attach(rng.integers(0, 2, K - 24).astype(np.int8),
+                         CRC24A_POLY)
+        base_bits.append(row)
+        for k, x in enumerate(npr.turbo_encode(row, perm)):
+            base_parts[k].append(x)
+    sigma = np.sqrt(1 / (2 * 10 ** (ebn0_db / 10) / 3))
+    reps = -(-B // len(base_bits))
+    inputs_list, bits_list = [], []
+    bits_np = np.tile(np.stack(base_bits), (reps, 1))[:B]
+    for _ in range(n_super):
+        out = []
+        for p in base_parts:
+            a = np.tile(np.stack(p).astype(np.float64), (reps, 1))[:B]
+            y = (1 - 2 * a) + sigma * rng.normal(size=a.shape)
+            out.append(jnp.asarray(2 * y / sigma ** 2, jnp.float32))
+        inputs_list.append(jax.device_put(tuple(out)))
+        bits_list.append(jax.device_put(jnp.asarray(bits_np)))
+    return inputs_list, bits_list
+
+
+def bench_compaction(cfg: DecoderConfig, B: int, ebn0_db: float,
+                     n_super: int = 8, stage1_iters: int = 3,
+                     seed: int = 0) -> dict:
+    """Effective-throughput benchmark: compaction vs single-stage early
+    termination on the same frames."""
+    if cfg.early_term != "crc":
+        raise ValueError(
+            "convergence compaction re-batches on CRC failure, so it "
+            "requires early_term='crc' (got "
+            f"{cfg.early_term!r}); use --early-term crc")
+    inputs_list, bits_list = make_crc_batches(cfg.K, B, n_super, ebn0_db,
+                                              seed)
+    flat = (tuple(jnp.concatenate([inp[k] for inp in inputs_list], axis=0)
+                  for k in range(5)),
+            jnp.concatenate(bits_list, axis=0))
+    floor = measure_roundtrip()
+
+    def run_compact():
+        return decode_compacted(inputs_list, bits_list, cfg,
+                                stage1_iters, flat=flat)
+
+    res = run_compact()                      # compile + warm at real shapes
+    wall_c = min(_timed(run_compact) for _ in range(3))
+    n_fetches = n_super + res[3]
+    wall_c_corr = max(wall_c - n_fetches * floor, 1e-9)
+
+    # Single-stage baseline on the same frames, one fetch per batch
+    # (identical program structure to a production sweep step).
+    @jax.jit
+    def single_one(inp, bits):
+        hard, iters, _ = turbo_decode(*inp, cfg)
+        return ((hard != bits).sum().astype(jnp.float32)
+                + iters.max().astype(jnp.float32))
+
+    def run_single():
+        return sum(float(single_one(inp, bits))
+                   for inp, bits in zip(inputs_list, bits_list))
+
+    run_single()
+    wall_s = min(_timed(run_single) for _ in range(3))
+    wall_s_corr = max(wall_s - n_super * floor, 1e-9)
+
+    info_bits = n_super * B * cfg.K
+    return {
+        "K": cfg.K, "B": B, "n_super": n_super, "ebn0_db": ebn0_db,
+        "stage1_iters": stage1_iters, "full_iters": cfg.n_iters,
+        "siso": cfg.siso, "io_dtype": cfg.io_dtype, "nii": cfg.nii,
+        "n_stage2_batches": res[3],
+        "deferred_frac": round(res[5] / (n_super * B), 4),
+        "mbit_per_s_compacted": info_bits / wall_c_corr / 1e6,
+        "mbit_per_s_single": info_bits / wall_s_corr / 1e6,
+        "speedup": wall_s_corr / wall_c_corr,
+        "wall_raw_compacted_s": wall_c,
+        "roundtrip_floor_s": floor, "n_fetches": n_fetches,
+        "bit_errs": res[0], "frame_errs": res[1],
+    }
