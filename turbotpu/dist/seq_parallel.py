@@ -95,18 +95,37 @@ def make_exchange(perm_e: np.ndarray, C: int, n_seq: int,
     send_tbl = jnp.asarray(send_np.reshape(n_seq, -1))
     slot_tbl = jnp.asarray(slot_np)
 
+    # Pad entries (value C, the "zero row") are handled with clamp+mask
+    # selects that XLA fuses into the gather consumers, NOT by
+    # concatenating a zero row onto le -- that concat materialized a full
+    # copy of the extrinsic tensor per gather and cost the seq-parallel
+    # path ~12% of the flagship throughput even at n_seq=1, where no pad
+    # entry exists at all (measured round 3; RESULTS.md C5).
+    no_pad_rows = not (local_np == C).any()
+
+    def _masked_take(le_local, tbl_row):
+        mask = tbl_row < C
+        out = jnp.take(le_local, jnp.where(mask, tbl_row, 0), axis=1)
+        # Broadcast the mask along axis 1 whatever the operand rank (the
+        # scan path passes (B, C); the cells path (cells, C, 8, 128)).
+        bshape = (1, mask.shape[0]) + (1,) * (le_local.ndim - 2)
+        return jnp.where(mask.reshape(bshape), out,
+                         jnp.zeros((), le_local.dtype))
+
     def apply(le_local: jax.Array, j: jax.Array) -> jax.Array:
-        zrow = jnp.zeros_like(le_local[:, :1])
-        le_pad = jnp.concatenate([le_local, zrow], axis=1)
-        la = jnp.take(le_pad, jnp.take(local_tbl, j, axis=0), axis=1)
+        loc = jnp.take(local_tbl, j, axis=0)
+        if M == 0 and no_pad_rows:
+            # n_seq == 1: a pure local permutation, identical in cost to
+            # the monolithic decoder's extrinsic gather.
+            return jnp.take(le_local, loc, axis=1)
+        la = _masked_take(le_local, loc)
         if M == 0:
             return la
-        sb = jnp.take(le_pad, jnp.take(send_tbl, j, axis=0), axis=1)
+        sb = _masked_take(le_local, jnp.take(send_tbl, j, axis=0))
         rb = jax.lax.all_to_all(sb, axis_name, split_axis=1, concat_axis=1,
                                 tiled=True)
-        la_pad = jnp.concatenate([la, zrow], axis=1)
-        la_pad = la_pad.at[:, jnp.take(slot_tbl, j, axis=0)].set(rb)
-        return la_pad[:, :C]
+        # slot C (dropped pad) relies on scatter mode="drop".
+        return la.at[:, jnp.take(slot_tbl, j, axis=0)].set(rb, mode="drop")
 
     return apply
 
