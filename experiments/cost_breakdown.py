@@ -143,7 +143,9 @@ OP_COUNT = {
     "gamma (A+P)": 1,            # the (1,1) branch metric
     "alpha step": 12 + 8,        # 12 adds (16 edges - 4 zero-metric) + 8 max
     "beta step": 12 + 8,
-    "extrinsic": 2 * (8 + 4 + 7) + 1,  # per u: 8 a+b adds, 4 +P, 7-max tree
+    # per u: 8 a+b adds, ONE +P on the parity-1 subtree (factored out of
+    # the 4 leaves -- bit-exact for max-log), 7-max tree; final subtract.
+    "extrinsic": 2 * (8 + 1 + 7) + 1,
     "renorms (every 8 steps, alpha+beta)": 2 * 15 / 8.0,
 }
 

@@ -153,6 +153,8 @@ def main(argv=None):
                     default="crc",
                     help="none = fixed-iteration lean loop (the "
                          "throughput-comparable mode)")
+    c5.add_argument("--reps", type=int, default=4,
+                    help="timed on-device decode reps chained per fetch")
 
     tb = sub.add_parser("tb", help="transport-block Monte-Carlo: TB > 6144 "
                         "bits through segmentation, per-block rate "
@@ -282,7 +284,8 @@ def main(argv=None):
                      n_iters=args.iters, data=args.data, seq=args.seq,
                      siso=args.siso, io_dtype=args.io_dtype, nii=args.nii,
                      window=args.window, boundary_xch=args.xch,
-                     early_term=args.early_term, verbose=False)
+                     early_term=args.early_term, n_timed=args.reps,
+                     verbose=False)
         print(json.dumps(rec))
         return 0
 
