@@ -189,10 +189,20 @@ def _calibrate_vpu(n_ops=4096, lanes=1):
             return call(v)
         return jax.lax.fori_loop(0, reps, body, x)[0, 0]
 
-    reps = 256
+    # The fetch floor under the axon tunnel (~38 ms) dwarfs a short
+    # microbench, and subtracting two nearly-equal walls once produced a
+    # NEGATIVE ns/op (round 3).  Scale reps until compute dominates the
+    # floor by >=5x, then subtract.
     floor = measure_roundtrip()
+    reps = 256
     float(run(x, reps))
     wall = _best(lambda: float(run(x, reps))) - floor
+    target = max(5 * floor, 0.2)
+    if wall < target:
+        scale = int(np.ceil(target / max(wall, 1e-4)))
+        reps = min(reps * scale, 1_000_000)
+        float(run(x, reps))
+        wall = _best(lambda: float(run(x, reps))) - floor
     return wall / (reps * n_ops)  # seconds per tile-op
 
 

@@ -44,9 +44,15 @@ def _round_up(x, m):
 # Partitioned extrinsic exchange
 # ---------------------------------------------------------------------------
 
-def exchange_tables(perm_e: np.ndarray, C: int, n_seq: int):
+def exchange_tables(perm_e: np.ndarray, C: int, n_seq: int,
+                    real_len: int | None = None):
     """Static routing tables for la_local[t] = le[perm_e[j*C + t]] with le
     chunk-sharded over 'seq' (C rows per shard).
+
+    real_len: if given, any entry whose SOURCE global index is >= real_len
+    routes to the pad (zero) slot instead -- folding the "garbage
+    extrinsics beyond row K read as a-priori 0" mask into the gather
+    itself, so callers need no separate full-tensor masking pass.
 
     Returns (local_tbl, send_tbl, slot_tbl, M):
       local_tbl (n_seq, C):    shard j's same-shard source offsets (C = pad,
@@ -69,6 +75,8 @@ def exchange_tables(perm_e: np.ndarray, C: int, n_seq: int):
     M = 0
     for j in range(n_seq):
         for t in range(C):
+            if real_len is not None and perm_e[j * C + t] >= real_len:
+                continue                        # reads the zero row
             s = int(src[j * C + t])
             o = int(off[j * C + t])
             if s == j:
@@ -87,10 +95,11 @@ def exchange_tables(perm_e: np.ndarray, C: int, n_seq: int):
 
 
 def make_exchange(perm_e: np.ndarray, C: int, n_seq: int,
-                  axis_name: str = "seq"):
+                  axis_name: str = "seq", real_len: int | None = None):
     """Build fn(le_local, j) -> la_local applying the static permutation
     across chunk-sharded rows (axis 1) with one all_to_all."""
-    local_np, send_np, slot_np, M = exchange_tables(perm_e, C, n_seq)
+    local_np, send_np, slot_np, M = exchange_tables(perm_e, C, n_seq,
+                                                    real_len)
     local_tbl = jnp.asarray(local_np)
     send_tbl = jnp.asarray(send_np.reshape(n_seq, -1))
     slot_tbl = jnp.asarray(slot_np)
@@ -331,8 +340,12 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
     ext = np.arange(K, KTp, dtype=np.int64)
     perm_e = np.concatenate([perm.astype(np.int64), ext])
     inv_e = np.concatenate([np.asarray(cfg.inv()).astype(np.int64), ext])
-    xch_perm = make_exchange(perm_e, C, n_seq)
-    xch_inv = make_exchange(inv_e, C, n_seq)
+    # real_len=K folds the "rows >= K carry pad-step garbage extrinsics;
+    # exchanged a-priori must read 0 there" rule into the gather tables --
+    # no separate full-tensor masking pass per SISO output (that where
+    # pass cost the seq path ~15% of flagship speed at 1x1, round 3).
+    xch_perm = make_exchange(perm_e, C, n_seq, real_len=K)
+    xch_inv = make_exchange(inv_e, C, n_seq, real_len=K)
     scale = cfg.resolved_ext_scale()
     G_chunks_np = (_chunked_crc_matrix(K, cfg.crc_poly, C, n_seq)
                    if cfg.early_term == "crc" else None)
@@ -376,7 +389,10 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
         G_chunks = (jnp.asarray(G_chunks_np) if G_chunks_np is not None
                     else None)
         # Rows with global index >= K carry +-BIG pad-step garbage
-        # extrinsics; zero them so exchanged a-priori stays 0 there.
+        # extrinsics.  The exchange tables (real_len=K) read a-priori 0
+        # there, G_chunks is zero beyond K, sign-agreement masks below,
+        # and final outputs are sliced to :K -- so no per-SISO full
+        # -tensor masking pass is needed (it cost ~15% at 1x1).
         real_mask = ((j * C + jnp.arange(C)) < K)[None, :, None, None]
 
         def siso_chunk(ls_c, lp_c, la_c, a_in, b_in):
@@ -395,7 +411,6 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
                 le_c, a_out, b_out = siso_cells(
                     ls_c, lp_c, la_c, C, cfg.mode, scale,
                     boundaries=(a0, bT), window=W)
-            le_c = jnp.where(real_mask, le_c, jnp.zeros((), dt))
             return le_c, a_out, b_out
 
         def roll_ain(edge_rx, a_out):
