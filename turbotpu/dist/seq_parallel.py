@@ -399,13 +399,15 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             bT = jnp.where(j == n_seq - 1, e0, b_in)
             if cfg.nii:
                 # a_in: (cells, n_win, 8, 8, 128) per-window alpha starts,
-                # slot 0 = cross-chunk edge (exact e0 on the first chunk).
-                # NII composes at both granularities: window seams inherit
-                # last half-iteration's alphas, chunk seams ride ppermute.
-                ain = a_in.at[:, 0].set(jnp.where(j == 0, e0, a_in[:, 0]))
+                # slot 0 = cross-chunk edge (exact e0 on the first chunk --
+                # pinned by the carry INIT and by roll_ain, not per call:
+                # an .at[:, 0].set here copied the whole table twice per
+                # iteration).  NII composes at both granularities: window
+                # seams inherit last half-iteration's alphas, chunk seams
+                # ride ppermute.
                 le_c, a_out, b_out = siso_cells(
                     ls_c, lp_c, la_c, C, cfg.mode, scale,
-                    nii_boundaries=(ain, bT), window=W)
+                    nii_boundaries=(a_in, bT), window=W)
             else:
                 a0 = jnp.where(j == 0, e0, a_in)
                 le_c, a_out, b_out = siso_cells(
@@ -415,8 +417,10 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
 
         def roll_ain(edge_rx, a_out):
             """Next half-iteration's window starts: received chunk edge
-            into slot 0, this call's window-end alphas shifted up."""
-            return jnp.concatenate([edge_rx[:, None], a_out[:, :-1]], axis=1)
+            into slot 0 (shard 0 pins the exact trellis edge e0 instead),
+            this call's window-end alphas shifted up."""
+            edge0 = jnp.where(j == 0, e0, edge_rx)
+            return jnp.concatenate([edge0[:, None], a_out[:, :-1]], axis=1)
 
         def exchange(a_out, b_out):
             if cfg.nii:
@@ -453,9 +457,14 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
                     + scale * (le1.astype(f32) + le21.astype(f32)))
 
         # NII carries per-window alpha-start tables; exact mode carries
-        # chunk-edge metrics only.  Zeros = uniform cold start either way.
-        a_init = (jnp.zeros((n_cells, n_win, 8, 8, 128), jnp.float32)
-                  if cfg.nii else uni)
+        # chunk-edge metrics only.  Zeros = uniform cold start; shard 0's
+        # slot 0 is pinned to the exact trellis edge e0 here ONCE (and by
+        # roll_ain thereafter), so siso_chunk never rewrites the table.
+        if cfg.nii:
+            a_init = jnp.zeros((n_cells, n_win, 8, 8, 128), jnp.float32)
+            a_init = a_init.at[:, 0].set(jnp.where(j == 0, e0, a_init[:, 0]))
+        else:
+            a_init = uni
 
         if cfg.early_term == "none":
             # Lean loop (decoder/turbo_cells.py convention): no per-
