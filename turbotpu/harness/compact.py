@@ -44,8 +44,14 @@ from ..decoder.turbo import DecoderConfig, turbo_decode
 from .bench import _timed, measure_roundtrip
 
 
+@functools.lru_cache(maxsize=32)
 def _stage_fns(cfg1: DecoderConfig, cfg2: DecoderConfig):
-    """Two compiled programs: capped first pass and full-cap finish."""
+    """Two compiled programs: capped first pass and full-cap finish.
+
+    Cached on the (frozen, hashable) configs: building fresh jit
+    closures per decode_compacted call made every pass retrace and
+    recompile (~300 ms/program even with the persistent cache),
+    swamping the ~2 ms decodes."""
     G = make_crc_matrix(cfg1.K, cfg1.crc_poly)
 
     @jax.jit
