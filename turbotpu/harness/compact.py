@@ -215,15 +215,29 @@ def bench_compaction(cfg: DecoderConfig, B: int, ebn0_db: float,
     wall_s_corr = max(wall_s - n_super * floor, 1e-9)
 
     info_bits = n_super * B * cfg.K
+    # Device-work accounting: each batch-iteration costs one pass of two
+    # fused SISO kernels over B codewords.  Stage 1 runs its cap; each
+    # stage-2 batch runs up to the full cap; single-stage runs the full
+    # cap per super-batch (at B>=1024 the global-exit while_loop
+    # essentially never exits before it at waterfall operating points).
+    # This is the honest speedup metric here: the compaction schedule is
+    # host-driven, and under the axon tunnel each host round trip costs
+    # ~25-70 ms against ~2 ms decodes, so end-to-end wall clock measures
+    # the tunnel, not the schedule (a production host pays microseconds
+    # per dispatch; see RESULTS.md).
+    units_compact = n_super * stage1_iters + res[3] * cfg.n_iters
+    units_single = n_super * cfg.n_iters
     return {
         "K": cfg.K, "B": B, "n_super": n_super, "ebn0_db": ebn0_db,
         "stage1_iters": stage1_iters, "full_iters": cfg.n_iters,
         "siso": cfg.siso, "io_dtype": cfg.io_dtype, "nii": cfg.nii,
         "n_stage2_batches": res[3],
         "deferred_frac": round(res[5] / (n_super * B), 4),
-        "mbit_per_s_compacted": info_bits / wall_c_corr / 1e6,
-        "mbit_per_s_single": info_bits / wall_s_corr / 1e6,
-        "speedup": wall_s_corr / wall_c_corr,
+        "iter_batches_compacted": units_compact,
+        "iter_batches_single": units_single,
+        "device_work_speedup": units_single / units_compact,
+        "mbit_per_s_compacted_tunnel": info_bits / wall_c_corr / 1e6,
+        "mbit_per_s_single_tunnel": info_bits / wall_s_corr / 1e6,
         "wall_raw_compacted_s": wall_c,
         "roundtrip_floor_s": floor, "n_fetches": n_fetches,
         "bit_errs": res[0], "frame_errs": res[1],
