@@ -71,8 +71,17 @@ def build_emulated(K: int, n_seq: int, B: int, n_iters: int = 6,
         return jnp.concatenate([from_cells(ch[j]) for j in range(n_seq)],
                                axis=1)
 
-    kern = jax.vmap(lambda ls, lp, la, ain, bT: siso_cells(
-        ls, lp, la, C, cfg.mode, scale, nii_boundaries=(ain, bT), window=W))
+    def kern(ls, lp, la, ain, bT):
+        # One kernel call per emulated shard (a vmap over pallas_call
+        # produced 5-D ANY-space operands the Mosaic lowering rejects);
+        # this matches the real sharded program exactly: each shard runs
+        # its own kernel instance over its chunk.
+        outs = [siso_cells(ls[j], lp[j], la[j], C, cfg.mode, scale,
+                           nii_boundaries=(ain[j], bT[j]), window=W)
+                for j in range(n_seq)]
+        return (jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]),
+                jnp.stack([o[2] for o in outs]))
 
     e0c = jnp.concatenate(
         [jnp.zeros((n_cells, 1, 8, 128), jnp.float32),
