@@ -56,6 +56,17 @@ def bench_one(siso_name: str, K: int, B: int, mode: str = "maxlog",
     float(run(ls, lp, la, reps))                 # compile + warm
     wall = min(_timed(lambda: float(run(ls, lp, la, reps)))
                for _ in range(3))
+    # Small shapes finish in microseconds; subtracting the ~38 ms tunnel
+    # fetch floor from a floor-sized wall is pure noise.  Scale reps
+    # until compute dominates the floor 5x (one extra compile at the new
+    # static rep count), same discipline as cost_breakdown._calibrate_vpu.
+    target = max(5 * floor, 0.2)
+    if wall - floor < target:
+        scale = int(np.ceil(target / max(wall - floor, 1e-4)))
+        reps = min(reps * scale, 1_000_000)
+        float(run(ls, lp, la, reps))
+        wall = min(_timed(lambda: float(run(ls, lp, la, reps)))
+                   for _ in range(3))
     return max(wall - floor, 1e-9) / reps
 
 
