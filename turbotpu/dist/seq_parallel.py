@@ -340,12 +340,14 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
     ext = np.arange(K, KTp, dtype=np.int64)
     perm_e = np.concatenate([perm.astype(np.int64), ext])
     inv_e = np.concatenate([np.asarray(cfg.inv()).astype(np.int64), ext])
-    # real_len=K folds the "rows >= K carry pad-step garbage extrinsics;
-    # exchanged a-priori must read 0 there" rule into the gather tables --
-    # no separate full-tensor masking pass per SISO output (that where
-    # pass cost the seq path ~15% of flagship speed at 1x1, round 3).
-    xch_perm = make_exchange(perm_e, C, n_seq, real_len=K)
-    xch_inv = make_exchange(inv_e, C, n_seq, real_len=K)
+    # Garbage extrinsics beyond global row K are zeroed as a-priori
+    # IN-KERNEL: the chunk kernel takes K_real=K (global) plus a row
+    # -offset scalar (j*C), so tail destinations (perm_e identity there)
+    # mask themselves and the exchange stays a pure gather -- no
+    # real_len pad entries, no full-tensor select after the gather
+    # (XLA does not fuse that select; it cost ~15% at 1x1, round 3).
+    xch_perm = make_exchange(perm_e, C, n_seq)
+    xch_inv = make_exchange(inv_e, C, n_seq)
     scale = cfg.resolved_ext_scale()
     G_chunks_np = (_chunked_crc_matrix(K, cfg.crc_poly, C, n_seq)
                    if cfg.early_term == "crc" else None)
@@ -389,10 +391,11 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
         G_chunks = (jnp.asarray(G_chunks_np) if G_chunks_np is not None
                     else None)
         # Rows with global index >= K carry +-BIG pad-step garbage
-        # extrinsics.  The exchange tables (real_len=K) read a-priori 0
-        # there, G_chunks is zero beyond K, sign-agreement masks below,
-        # and final outputs are sliced to :K -- so no per-SISO full
-        # -tensor masking pass is needed (it cost ~15% at 1x1).
+        # extrinsics.  The kernel's global-row mask (K_real=K + the j*C
+        # row offset) reads a-priori 0 there, G_chunks is zero beyond K,
+        # sign-agreement masks below, and final outputs are sliced to :K
+        # -- no full-tensor masking pass anywhere in the loop.
+        row_off = (j * C).astype(jnp.int32)[None]
         real_mask = ((j * C + jnp.arange(C)) < K)[None, :, None, None]
 
         def siso_chunk(ls_c, lp_c, la_c, a_in, b_in):
@@ -406,13 +409,14 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
                 # seams inherit last half-iteration's alphas, chunk seams
                 # ride ppermute.
                 le_c, a_out, b_out = siso_cells(
-                    ls_c, lp_c, la_c, C, cfg.mode, scale,
-                    nii_boundaries=(a_in, bT), window=W)
+                    ls_c, lp_c, la_c, K, cfg.mode, scale,
+                    nii_boundaries=(a_in, bT), window=W,
+                    row_offset=row_off)
             else:
                 a0 = jnp.where(j == 0, e0, a_in)
                 le_c, a_out, b_out = siso_cells(
-                    ls_c, lp_c, la_c, C, cfg.mode, scale,
-                    boundaries=(a0, bT), window=W)
+                    ls_c, lp_c, la_c, K, cfg.mode, scale,
+                    boundaries=(a0, bT), window=W, row_offset=row_off)
             return le_c, a_out, b_out
 
         def roll_ain(edge_rx, a_out):

@@ -146,7 +146,8 @@ def _init_e0():
 
 
 def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
-                 boundary: bool, nii: bool = False):
+                 boundary: bool, nii: bool = False,
+                 with_offset: bool = False):
     """Fused SISO kernel body.
 
     Streams raw (ls, lp, la) from HBM and forms branch metrics in VMEM:
@@ -185,11 +186,25 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
     chunk this is bit-identical to the exact boundary mode -- the same
     stale-edge approximation at chunk granularity -- and with multiple
     windows it runs at NII speed instead of two-phase speed.
+
+    with_offset (boundary contracts only): the operand list gains a
+    trailing (1,) int32 SMEM scalar ROW OFFSET and the a-priori mask
+    becomes [offset + t < K_real] -- i.e. K_real is the GLOBAL info
+    length and the caller tells the kernel where its chunk starts.  The
+    seq-parallel decoder uses this so garbage extrinsics beyond the
+    global row K are zeroed as a-priori IN-KERNEL, replacing a fused
+    -nowhere full-tensor select after every exchange gather (round 3:
+    that select was most of the seq path's 19% gap vs the flagship).
     """
     n_sub = W // UNROLL
     assert W % UNROLL == 0
+    assert not (with_offset and not boundary)
 
     def kernel(*refs):
+        if with_offset:
+            # Offset rides as the 4th input (after the three streams).
+            off_ref = refs[3]
+            refs = refs[:3] + refs[4:]
         if boundary and nii:
             (ls_hbm, lp_hbm, la_hbm, ain_ref, bT_ref,
              le_hbm, aout_ref, bout_ref,
@@ -244,7 +259,16 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
             base = w * W + i * UNROLL
             out = []
             for j in range(UNROLL):
-                sm = jnp.where(base + j < K_real, jnp.float32(scale), 0.0)
+                if with_offset:
+                    # Global-row mask: off is this chunk's start row, so
+                    # K_real is the global info length.  sm becomes a
+                    # traced scalar; the multiply already existed, so
+                    # this costs nothing over the compile-time constant.
+                    sm = jnp.where(off_ref[0] + (base + j) < K_real,
+                                   jnp.float32(scale), 0.0)
+                else:
+                    sm = jnp.where(base + j < K_real, jnp.float32(scale),
+                                   0.0)
                 out.append((-(cla[j] * sm + cls[j]), -clp[j]))
             return out
 
@@ -362,10 +386,12 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
 @functools.lru_cache(maxsize=None)
 def _build_call(n_cells: int, KTp: int, W: int, mode: str, K_real: int,
                 scale: float, boundary: bool, interpret: bool,
-                io_dtype: str = "float32", nii: bool = False):
+                io_dtype: str = "float32", nii: bool = False,
+                with_offset: bool = False):
     n_win = KTp // W
     dt = jnp.dtype(io_dtype)
-    kernel = _make_kernel(n_win, W, mode, K_real, scale, boundary, nii)
+    kernel = _make_kernel(n_win, W, mode, K_real, scale, boundary, nii,
+                          with_offset)
     stream = pl.BlockSpec(memory_space=pltpu.ANY)
     edge_in = pl.BlockSpec((1, 8, 8, 128), lambda c: (c, 0, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -375,6 +401,8 @@ def _build_call(n_cells: int, KTp: int, W: int, mode: str, K_real: int,
     ckpt_shape = jax.ShapeDtypeStruct((n_cells, n_win, 8, 8, 128),
                                       jnp.float32)
     in_specs = [stream] * 3
+    if with_offset:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
     out_shape = [jax.ShapeDtypeStruct((n_cells, KTp, 8, 128), dt)]
     out_specs = [stream]
     if boundary and nii:
@@ -441,7 +469,8 @@ def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
                interpret: bool | None = None,
                nii_ckpt: jax.Array | None = None,
                nii_boundaries: tuple[jax.Array, jax.Array] | None = None,
-               window: int = 0):
+               window: int = 0,
+               row_offset: jax.Array | None = None):
     """Cell-layout kernel entry: raw LLR streams in, extrinsics out.
 
     ls/lp/la: (cells, KTp, 8, 128) with KTp a multiple of the window; pad
@@ -470,6 +499,12 @@ def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
     aout[:, -1] is the outgoing chunk edge) and bout is beta at the
     chunk start.  Mutually exclusive with the other two.
 
+    row_offset: optional (1,) int32 device scalar (boundary contracts
+    only): the chunk's global start row.  The a-priori mask becomes
+    [row_offset + t < K_real] with K_real the GLOBAL info length, so
+    seq-parallel callers get garbage-extrinsic zeroing in-kernel
+    instead of via a full-tensor select after the exchange gather.
+
     The LLR streams may be bfloat16 (le comes back in the same dtype;
     metrics stay fp32 in VMEM) -- the kernel is HBM-bandwidth-bound, so
     halving stream bytes buys real throughput.  Boundary metrics are
@@ -481,16 +516,20 @@ def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
     assert ls_cells.dtype == lp_cells.dtype == la_cells.dtype
     assert (boundaries is not None) + (nii_ckpt is not None) \
         + (nii_boundaries is not None) <= 1
+    assert row_offset is None or boundaries is not None \
+        or nii_boundaries is not None
     W = window or window_len(KTp)
     assert KTp % W == 0 and W % UNROLL == 0
     call = _build_call(n_cells, KTp, W, mode, K_real, float(scale),
                        boundaries is not None or nii_boundaries is not None,
                        interpret, io_dtype=str(ls_cells.dtype),
-                       nii=nii_ckpt is not None or nii_boundaries is not None)
+                       nii=nii_ckpt is not None or nii_boundaries is not None,
+                       with_offset=row_offset is not None)
+    off = (row_offset.astype(jnp.int32),) if row_offset is not None else ()
     if nii_boundaries is not None:
-        return call(ls_cells, lp_cells, la_cells, *nii_boundaries)
+        return call(ls_cells, lp_cells, la_cells, *off, *nii_boundaries)
     if boundaries is not None:
-        return call(ls_cells, lp_cells, la_cells, *boundaries)
+        return call(ls_cells, lp_cells, la_cells, *off, *boundaries)
     if nii_ckpt is not None:
         le, ckpt = call(ls_cells, lp_cells, la_cells, nii_ckpt)
         return le, ckpt
