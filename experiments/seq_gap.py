@@ -55,20 +55,21 @@ def bench_kernel(boundary: bool, reps: int = 64) -> float:
     @functools.partial(jax.jit, static_argnames=("n",))
     def run(ls, lp, la, n: int):
         def body(i, carry):
-            la, ck, acc = carry
+            la, ck, edge, acc = carry
             if boundary:
-                le, aout, bout = siso_cells(ls, lp, la, K, "maxlog", 0.75,
-                                            nii_boundaries=(ck, e0),
-                                            window=W)
-                ck = aout
+                le, aout, eout, bout = siso_cells(
+                    ls, lp, la, K, "maxlog", 0.75,
+                    nii_boundaries=(ck, edge, e0), window=W)
+                ck, edge = aout, eout
                 s = (le[0, 0, 0, 0].astype(jnp.float32)
                      + bout[0, 0, 0, 0] * 0.0)
             else:
                 le, ck = siso_cells(ls, lp, la, K, "maxlog", 0.75,
                                     nii_ckpt=ck, window=W)
                 s = le[0, 0, 0, 0].astype(jnp.float32)
-            return la + (s * 0).astype(la.dtype), ck, acc + s
-        _, _, acc = jax.lax.fori_loop(0, n, body, (la, ck0, jnp.float32(0)))
+            return la + (s * 0).astype(la.dtype), ck, edge, acc + s
+        _, _, _, acc = jax.lax.fori_loop(
+            0, n, body, (la, ck0, e0, jnp.float32(0)))
         return acc
 
     floor = measure_roundtrip()

@@ -71,17 +71,19 @@ def build_emulated(K: int, n_seq: int, B: int, n_iters: int = 6,
         return jnp.concatenate([from_cells(ch[j]) for j in range(n_seq)],
                                axis=1)
 
-    def kern(ls, lp, la, ain, bT):
+    def kern(ls, lp, la, ain, ein, bT):
         # One kernel call per emulated shard (a vmap over pallas_call
         # produced 5-D ANY-space operands the Mosaic lowering rejects);
         # this matches the real sharded program exactly: each shard runs
         # its own kernel instance over its chunk.
         outs = [siso_cells(ls[j], lp[j], la[j], C, cfg.mode, scale,
-                           nii_boundaries=(ain[j], bT[j]), window=W)
+                           nii_boundaries=(ain[j], ein[j], bT[j]),
+                           window=W)
                 for j in range(n_seq)]
         return (jnp.stack([o[0] for o in outs]),
                 jnp.stack([o[1] for o in outs]),
-                jnp.stack([o[2] for o in outs]))
+                jnp.stack([o[2] for o in outs]),
+                jnp.stack([o[3] for o in outs]))
 
     e0c = jnp.concatenate(
         [jnp.zeros((n_cells, 1, 8, 128), jnp.float32),
@@ -94,9 +96,9 @@ def build_emulated(K: int, n_seq: int, B: int, n_iters: int = 6,
         rm.append(m[None, :, None, None])
     real_mask = jnp.asarray(np.stack(rm))      # (n_seq, 1, C, 1, 1)
 
-    def exchange_a(aout):
-        edge = jnp.concatenate([e0c[None], aout[:-1, :, -1]], axis=0)
-        return jnp.concatenate([edge[:, :, None], aout[:, :, :-1]], axis=2)
+    def exchange_e(eout):
+        # Cross-chunk alpha edge to the next chunk; e0 at the open end.
+        return jnp.concatenate([e0c[None], eout[:-1]], axis=0)
 
     def exchange_b(bout):
         return jnp.concatenate([bout[1:], e0c[None]], axis=0)
@@ -128,18 +130,19 @@ def build_emulated(K: int, n_seq: int, B: int, n_iters: int = 6,
         # The carry keeps le1 so the final LLR is computed once after the
         # loop (the lean-loop convention of decoder/turbo_cells.py).
         def body2(i, c):
-            (le21, a1, b1, a2, b2, _) = c
-            le1, a1o, b1o = kern(ls1, lp1c, le21, exchange_a(a1),
-                                 exchange_b(b1))
+            (le21, a1, e1, b1, a2, e2, b2, _) = c
+            le1, a1o, e1o, b1o = kern(ls1, lp1c, le21, a1, exchange_e(e1),
+                                      exchange_b(b1))
             le1 = jnp.where(real_mask, le1, jnp.zeros((), dt))
-            le2, a2o, b2o = kern(ls2, lp2c, xch(le1, perm_e),
-                                 exchange_a(a2), exchange_b(b2))
+            le2, a2o, e2o, b2o = kern(ls2, lp2c, xch(le1, perm_e),
+                                      a2, exchange_e(e2), exchange_b(b2))
             le2 = jnp.where(real_mask, le2, jnp.zeros((), dt))
-            return (xch(le2, inv_e), a1o, b1o, a2o, b2o, le1)
+            return (xch(le2, inv_e), a1o, e1o, b1o, a2o, e2o, b2o, le1)
 
-        carry = (zc, za, jnp.stack([uni] * n_seq), za,
+        ze = jnp.stack([uni] * n_seq)
+        carry = (zc, za, ze, jnp.stack([uni] * n_seq), za, ze,
                  jnp.stack([uni] * n_seq), zc)
-        le21, _, _, _, _, le1 = jax.lax.fori_loop(
+        le21, _, _, _, _, _, _, le1 = jax.lax.fori_loop(
             0, n_iters, body2, carry)
         f32 = jnp.float32
         L = (to_flat(ls1).astype(f32)

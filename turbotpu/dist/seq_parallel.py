@@ -399,37 +399,32 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
         real_mask = ((j * C + jnp.arange(C)) < K)[None, :, None, None]
 
         def siso_chunk(ls_c, lp_c, la_c, a_in, b_in):
+            """a_in: exact mode -> chunk-start alpha edge; NII mode ->
+            (window-start table, received chunk edge).  NII composes at
+            both granularities: window seams inherit last half
+            -iteration's alphas (the kernel writes the table's shifted
+            slots itself -- the carry flows through the loop untouched),
+            chunk seams ride ppermute."""
             bT = jnp.where(j == n_seq - 1, e0, b_in)
             if cfg.nii:
-                # a_in: (cells, n_win, 8, 8, 128) per-window alpha starts,
-                # slot 0 = cross-chunk edge (exact e0 on the first chunk --
-                # pinned by the carry INIT and by roll_ain, not per call:
-                # an .at[:, 0].set here copied the whole table twice per
-                # iteration).  NII composes at both granularities: window
-                # seams inherit last half-iteration's alphas, chunk seams
-                # ride ppermute.
-                le_c, a_out, b_out = siso_cells(
+                ain, edge_in = a_in
+                le_c, a_out, e_out, b_out = siso_cells(
                     ls_c, lp_c, la_c, K, cfg.mode, scale,
-                    nii_boundaries=(a_in, bT), window=W,
+                    nii_boundaries=(ain, edge_in, bT), window=W,
                     row_offset=row_off)
-            else:
-                a0 = jnp.where(j == 0, e0, a_in)
-                le_c, a_out, b_out = siso_cells(
-                    ls_c, lp_c, la_c, K, cfg.mode, scale,
-                    boundaries=(a0, bT), window=W, row_offset=row_off)
+                return le_c, (a_out, e_out), b_out
+            a0 = jnp.where(j == 0, e0, a_in)
+            le_c, a_out, b_out = siso_cells(
+                ls_c, lp_c, la_c, K, cfg.mode, scale,
+                boundaries=(a0, bT), window=W, row_offset=row_off)
             return le_c, a_out, b_out
-
-        def roll_ain(edge_rx, a_out):
-            """Next half-iteration's window starts: received chunk edge
-            into slot 0 (shard 0 pins the exact trellis edge e0 instead),
-            this call's window-end alphas shifted up."""
-            edge0 = jnp.where(j == 0, e0, edge_rx)
-            return jnp.concatenate([edge0[:, None], a_out[:, :-1]], axis=1)
 
         def exchange(a_out, b_out):
             if cfg.nii:
-                edge = jax.lax.ppermute(a_out[:, -1], "seq", fwd)
-                a_in = roll_ain(edge, a_out)
+                a_tbl, e_out = a_out
+                edge_rx = jax.lax.ppermute(e_out, "seq", fwd)
+                # Shard 0 pins the exact trellis edge e0 instead.
+                a_in = (a_tbl, jnp.where(j == 0, e0, edge_rx))
             else:
                 a_in = jax.lax.ppermute(a_out, "seq", fwd)
             return a_in, jax.lax.ppermute(b_out, "seq", bwd)
@@ -441,15 +436,15 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
                 # remote DMA, both betas one backward DMA, in flight
                 # simultaneously (dist/dma.py).
                 from .dma import boundary_exchange_dma
-                fa1, fa2 = (a1o[:, -1], a2o[:, -1]) if cfg.nii else (a1o, a2o)
+                fa1, fa2 = (a1o[1], a2o[1]) if cfg.nii else (a1o, a2o)
                 fwd_rx, bwd_rx = boundary_exchange_dma(
                     jnp.stack([fa1, fa2]), jnp.stack([b1o, b2o]), "seq",
                     data_axis="data")
                 a1n, a2n = fwd_rx[0], fwd_rx[1]
                 b1n, b2n = bwd_rx[0], bwd_rx[1]
                 if cfg.nii:
-                    a1n = roll_ain(a1n, a1o)
-                    a2n = roll_ain(a2n, a2o)
+                    a1n = (a1o[0], jnp.where(j == 0, e0, a1n))
+                    a2n = (a2o[0], jnp.where(j == 0, e0, a2n))
             else:
                 a1n, b1n = exchange(a1o, b1o)
                 a2n, b2n = exchange(a2o, b2o)
@@ -460,13 +455,12 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             return (ls1_c.astype(f32)
                     + scale * (le1.astype(f32) + le21.astype(f32)))
 
-        # NII carries per-window alpha-start tables; exact mode carries
-        # chunk-edge metrics only.  Zeros = uniform cold start; shard 0's
-        # slot 0 is pinned to the exact trellis edge e0 here ONCE (and by
-        # roll_ain thereafter), so siso_chunk never rewrites the table.
+        # NII carries (per-window alpha-start table, chunk edge); exact
+        # mode carries chunk-edge metrics only.  Zeros = uniform cold
+        # start; shard 0's chunk edge is the exact trellis edge e0.
         if cfg.nii:
-            a_init = jnp.zeros((n_cells, n_win, 8, 8, 128), jnp.float32)
-            a_init = a_init.at[:, 0].set(jnp.where(j == 0, e0, a_init[:, 0]))
+            a_init = (jnp.zeros((n_cells, n_win, 8, 8, 128), jnp.float32),
+                      jnp.where(j == 0, e0, jnp.zeros_like(e0)))
         else:
             a_init = uni
 

@@ -206,8 +206,8 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
             off_ref = refs[3]
             refs = refs[:3] + refs[4:]
         if boundary and nii:
-            (ls_hbm, lp_hbm, la_hbm, ain_ref, bT_ref,
-             le_hbm, aout_ref, bout_ref,
+            (ls_hbm, lp_hbm, la_hbm, ain_ref, ein_ref, bT_ref,
+             le_hbm, aout_ref, eout_ref, bout_ref,
              ls_buf, lp_buf, la_buf, aw, le_buf,
              ls_sem, lp_sem, la_sem, o_sem) = refs
         elif boundary:
@@ -320,9 +320,14 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
 
             wait_in(slot, w)
             if nii and boundary:
-                # Seq-parallel chunk: slot 0 carries the caller-provided
-                # cross-chunk edge, so no in-kernel e0 special case.
-                alpha = tuple(ain_ref[0, w, s] for s in range(8))
+                # Seq-parallel chunk: window 0 starts from the separate
+                # cross-chunk edge operand; windows w>0 from ain[w],
+                # which THIS kernel wrote there last half-iteration (the
+                # shifted-slot write below) -- the caller carries ain
+                # through the loop untouched, no roll, no slot rewrite.
+                alpha = tuple(
+                    jnp.where(w == 0, ein_ref[0, s], ain_ref[0, w, s])
+                    for s in range(8))
             elif nii:
                 # Stale-by-one-half-iteration window start (exact e0 at the
                 # true trellis head); emit this window's end metric as the
@@ -344,8 +349,18 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
 
             alpha_end = jax.lax.fori_loop(0, n_sub, rec_body, alpha)
             if nii and boundary:
-                for s in range(8):
-                    aout_ref[0, w, s] = alpha_end[s]
+                # Shifted-slot write: window w's end is window w+1's next
+                # -half-iteration start; the last window's end is the
+                # outgoing chunk edge (separate output).
+                @pl.when(w + 1 < n_win)
+                def _():
+                    for s in range(8):
+                        aout_ref[0, w + 1, s] = alpha_end[s]
+
+                @pl.when(w == n_win - 1)
+                def _():
+                    for s in range(8):
+                        eout_ref[0, s] = alpha_end[s]
             elif nii:
                 @pl.when(w + 1 < n_win)
                 def _():
@@ -406,9 +421,9 @@ def _build_call(n_cells: int, KTp: int, W: int, mode: str, K_real: int,
     out_shape = [jax.ShapeDtypeStruct((n_cells, KTp, 8, 128), dt)]
     out_specs = [stream]
     if boundary and nii:
-        in_specs += [ckpt_spec, edge_in]           # ain, bT
-        out_shape += [ckpt_shape, edge_shape]      # aout, bout
-        out_specs += [ckpt_spec, edge_in]
+        in_specs += [ckpt_spec, edge_in, edge_in]  # ain, edge_in, bT
+        out_shape += [ckpt_shape, edge_shape, edge_shape]  # aout,eout,bout
+        out_specs += [ckpt_spec, edge_in, edge_in]
     elif boundary:
         in_specs += [edge_in] * 2
         out_shape += [edge_shape] * 2
@@ -471,6 +486,7 @@ def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
                nii_boundaries: tuple[jax.Array, jax.Array] | None = None,
                window: int = 0,
                row_offset: jax.Array | None = None):
+    # nii_boundaries is the 3-tuple (ain, edge_in, bT); see docstring.
     """Cell-layout kernel entry: raw LLR streams in, extrinsics out.
 
     ls/lp/la: (cells, KTp, 8, 128) with KTp a multiple of the window; pad
@@ -490,14 +506,18 @@ def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
     Cold-start with zeros (uniform metrics).  Mutually exclusive with
     boundaries.
 
-    nii_boundaries: optional (ain, bT) -- the seq-parallel chunk contract
-    combining both: ain is a (cells, n_win, 8, 8, 128) fp32 window-start
-    table whose slot 0 carries the CROSS-CHUNK alpha edge (pass exact e0
-    there on the first chunk), bT is the (cells, 8, 8, 128) chunk-end
-    beta edge.  Returns (le, aout, bout) where aout[w] is alpha at the
-    end of window w (aout[:, :-1] roll into the next call's ain[:, 1:];
-    aout[:, -1] is the outgoing chunk edge) and bout is beta at the
-    chunk start.  Mutually exclusive with the other two.
+    nii_boundaries: optional (ain, edge_in, bT) -- the seq-parallel
+    chunk contract combining both NII granularities.  ain is a
+    (cells, n_win, 8, 8, 128) fp32 window-start table written BY THIS
+    KERNEL last half-iteration (slot w = end of window w-1; slot 0 is
+    never read), edge_in is the (cells, 8, 8, 128) CROSS-CHUNK alpha
+    edge received from the neighbor shard (exact e0 on the first
+    chunk), bT the chunk-end beta edge.  Returns (le, aout, eout,
+    bout): aout feeds the next call's ain UNTOUCHED (the kernel writes
+    window ends into the shifted slot directly -- no roll, no slot
+    rewrite in the loop), eout is the outgoing chunk edge for the
+    neighbor, bout is beta at the chunk start.  Mutually exclusive
+    with the other two.
 
     row_offset: optional (1,) int32 device scalar (boundary contracts
     only): the chunk's global start row.  The a-priori mask becomes
