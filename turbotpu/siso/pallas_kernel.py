@@ -145,9 +145,28 @@ def _init_e0():
     return (z,) + (neg,) * 7
 
 
+def _quantize_le(le: jax.Array, dt, qscale: float) -> jax.Array:
+    """Cast an fp32 extrinsic row to the extrinsic HBM dtype.
+
+    float8_e4m3fn has no inf and XLA's convert overflows to NaN, so the
+    value is saturated at the format max first (an LLR of +-448 is
+    already absolute certainty -- clipping is semantically free).  int8
+    is uniform quantization at step `qscale` saturated to +-127, the
+    fixed-point extrinsic representation hardware turbo decoders use
+    (6-8 bit extrinsics are standard); the matching dequant is folded
+    into the kernel's a-priori scale multiply, so reading int8 costs
+    nothing over bf16."""
+    if dt == jnp.int8:
+        return jnp.clip(jnp.round(le * (1.0 / qscale)),
+                        -127.0, 127.0).astype(jnp.int8)
+    if dt == jnp.dtype("float8_e4m3fn"):
+        return jnp.clip(le, -448.0, 448.0).astype(dt)
+    return le.astype(dt)
+
+
 def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
                  boundary: bool, nii: bool = False,
-                 with_offset: bool = False):
+                 with_offset: bool = False, ext_qscale: float = 0.0):
     """Fused SISO kernel body.
 
     Streams raw (ls, lp, la) from HBM and forms branch metrics in VMEM:
@@ -199,6 +218,8 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
     n_sub = W // UNROLL
     assert W % UNROLL == 0
     assert not (with_offset and not boundary)
+    # int8 extrinsic dequant rides the existing a-priori scale multiply.
+    eff_scale = scale * (ext_qscale if ext_qscale else 1.0)
 
     def kernel(*refs):
         if with_offset:
@@ -265,10 +286,10 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
                     # traced scalar; the multiply already existed, so
                     # this costs nothing over the compile-time constant.
                     sm = jnp.where(off_ref[0] + (base + j) < K_real,
-                                   jnp.float32(scale), 0.0)
+                                   jnp.float32(eff_scale), 0.0)
                 else:
-                    sm = jnp.where(base + j < K_real, jnp.float32(scale),
-                                   0.0)
+                    sm = jnp.where(base + j < K_real,
+                                   jnp.float32(eff_scale), 0.0)
                 out.append((-(cla[j] * sm + cls[j]), -clp[j]))
             return out
 
@@ -374,8 +395,9 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
                     t = i0 + j
                     ca, cp = blk[j]
                     alpha_t = tuple(aw[t, s] for s in range(8))
-                    le_buf[t] = _extrinsic(alpha_t, beta, cp,
-                                           mode).astype(le_buf.dtype)
+                    le_buf[t] = _quantize_le(
+                        _extrinsic(alpha_t, beta, cp, mode),
+                        le_buf.dtype, ext_qscale)
                     beta = _beta_step(beta, ca, cp, mode)
                 return _renorm(beta)
 
@@ -402,11 +424,13 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
 def _build_call(n_cells: int, KTp: int, W: int, mode: str, K_real: int,
                 scale: float, boundary: bool, interpret: bool,
                 io_dtype: str = "float32", nii: bool = False,
-                with_offset: bool = False):
+                with_offset: bool = False, ext_dtype: str = "",
+                ext_qscale: float = 0.0):
     n_win = KTp // W
-    dt = jnp.dtype(io_dtype)
+    dt = jnp.dtype(io_dtype)            # channel streams (ls, lp)
+    dte = jnp.dtype(ext_dtype or io_dtype)  # extrinsic streams (la, le)
     kernel = _make_kernel(n_win, W, mode, K_real, scale, boundary, nii,
-                          with_offset)
+                          with_offset, ext_qscale)
     stream = pl.BlockSpec(memory_space=pltpu.ANY)
     edge_in = pl.BlockSpec((1, 8, 8, 128), lambda c: (c, 0, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -418,7 +442,7 @@ def _build_call(n_cells: int, KTp: int, W: int, mode: str, K_real: int,
     in_specs = [stream] * 3
     if with_offset:
         in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    out_shape = [jax.ShapeDtypeStruct((n_cells, KTp, 8, 128), dt)]
+    out_shape = [jax.ShapeDtypeStruct((n_cells, KTp, 8, 128), dte)]
     out_specs = [stream]
     if boundary and nii:
         in_specs += [ckpt_spec, edge_in, edge_in]  # ain, edge_in, bT
@@ -435,10 +459,10 @@ def _build_call(n_cells: int, KTp: int, W: int, mode: str, K_real: int,
     scratch = [
         pltpu.VMEM((2, W, 8, 128), dt),               # ls window buffers
         pltpu.VMEM((2, W, 8, 128), dt),               # lp window buffers
-        pltpu.VMEM((2, W, 8, 128), dt),               # la window buffers
+        pltpu.VMEM((2, W, 8, 128), dte),              # la window buffers
         pltpu.VMEM((n_win, 8, 8, 128), jnp.float32),  # alpha checkpoints
         pltpu.VMEM((W, 8, 8, 128), jnp.float32),      # alpha within window
-        pltpu.VMEM((W, 8, 128), dt),                  # Le window buffer
+        pltpu.VMEM((W, 8, 128), dte),                 # Le window buffer
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
@@ -485,7 +509,8 @@ def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
                nii_ckpt: jax.Array | None = None,
                nii_boundaries: tuple[jax.Array, jax.Array] | None = None,
                window: int = 0,
-               row_offset: jax.Array | None = None):
+               row_offset: jax.Array | None = None,
+               ext_qscale: float = 0.0):
     # nii_boundaries is the 3-tuple (ain, edge_in, bT); see docstring.
     """Cell-layout kernel entry: raw LLR streams in, extrinsics out.
 
@@ -533,7 +558,16 @@ def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_cells, KTp = ls_cells.shape[:2]
-    assert ls_cells.dtype == lp_cells.dtype == la_cells.dtype
+    # Channel streams share a dtype; the extrinsic streams (la in, le out)
+    # may use a narrower one (float8_e4m3fn / int8) -- they are the only
+    # per-iteration tensors that round-trip HBM through the interleave
+    # gather, so halving their bytes pays twice (gather + kernel stream).
+    assert ls_cells.dtype == lp_cells.dtype
+    ext_dt = la_cells.dtype
+    assert ext_qscale == 0.0 or ext_dt == jnp.int8, \
+        "ext_qscale is int8 fixed-point only"
+    assert ext_dt != jnp.int8 or ext_qscale > 0.0, \
+        "int8 extrinsics need a quantization step (ext_qscale)"
     assert (boundaries is not None) + (nii_ckpt is not None) \
         + (nii_boundaries is not None) <= 1
     assert row_offset is None or boundaries is not None \
@@ -544,7 +578,8 @@ def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
                        boundaries is not None or nii_boundaries is not None,
                        interpret, io_dtype=str(ls_cells.dtype),
                        nii=nii_ckpt is not None or nii_boundaries is not None,
-                       with_offset=row_offset is not None)
+                       with_offset=row_offset is not None,
+                       ext_dtype=str(ext_dt), ext_qscale=float(ext_qscale))
     off = (row_offset.astype(jnp.int32),) if row_offset is not None else ()
     if nii_boundaries is not None:
         return call(ls_cells, lp_cells, la_cells, *off, *nii_boundaries)
