@@ -120,9 +120,11 @@ def hlo_collective_counts(K: int = 320, n_seq: int = 4, data: int = 2,
 def scaling_model(K: int, b_local: int, n_seq: int,
                   dtype_bytes: int = 2,
                   link_gbytes: float = ICI_LINK_GBYTES,
-                  flagship_gbit_s: float = FLAGSHIP_GBIT_S) -> dict:
-    """Zero-overlap (pessimistic) per-iteration comm vs compute for a
-    'seq'-sharded ring decoding ONE batch of b_local codewords.
+                  flagship_gbit_s: float = FLAGSHIP_GBIT_S,
+                  overlap_groups: int = 1,
+                  glue_us_per_half_iter: float = 0.0) -> dict:
+    """Per-iteration comm vs compute for a 'seq'-sharded ring decoding ONE
+    batch of b_local codewords.
 
     Scaling efficiency here means T_1chip / (n_seq * T_nseq): each chip
     computes only its C-step chunk (full-trellis time / n_seq, times the
@@ -132,6 +134,22 @@ def scaling_model(K: int, b_local: int, n_seq: int,
     cost, while pure DP (the 'data' axis) buys throughput at zero
     per-iteration comm.  This is the model's headline conclusion, stated
     in main().
+
+    Round-4 extensions (round-3 VERDICT items 2 and 5):
+    * dtype_bytes=1 models int8 extrinsic exchange payloads
+      (DecoderConfig.ext_dtype='int8', shipped and BER-tested) -- the
+      only comm stream that scales with K halves.
+    * overlap_groups=G models DecoderConfig.seq_groups split-batch
+      software pipelining (shipped; fake-mesh equivalence-tested): the
+      local batch splits into G independent cell groups, so each group's
+      all_to_all overlaps the next group's chunk kernel via XLA async
+      collectives.  Modeled iteration time = max(compute, comm) +
+      comm/G (the pipeline-fill tail stays exposed) -- unverifiable on
+      one chip, stated as a model, with the zero-overlap number kept
+      alongside.
+    * glue_us_per_half_iter injects the MEASURED per-shard glue
+      (experiments/seq_glue.py: local exchange gathers + edge selects)
+      so the efficiency denominator is no longer kernel+comm rhetoric.
     """
     vol = exchange_volume(K, n_seq, dtype_bytes)
     # Per chip, per iteration, per codeword:
@@ -145,18 +163,27 @@ def scaling_model(K: int, b_local: int, n_seq: int,
     compute_full = (b_local * K / (flagship_gbit_s * 1e9)) / FLAGSHIP_ITERS
     pad = vol["perm"]["C"] * n_seq / (K + 3)
     compute_s = compute_full * pad / n_seq
-    eff = (compute_full / n_seq) / (compute_s + comm_s)
+    compute_s += 2 * glue_us_per_half_iter * 1e-6 * (b_local / 1024)
+    if overlap_groups > 1:
+        iter_s = max(compute_s, comm_s) + comm_s / overlap_groups
+    else:
+        iter_s = compute_s + comm_s
+    eff = (compute_full / n_seq) / iter_s
     return {
         "K": K, "b_local": b_local, "n_seq": n_seq,
-        "io_dtype_bytes": dtype_bytes,
+        "ext_dtype_bytes": dtype_bytes,
+        "overlap_groups": overlap_groups,
+        "glue_us_per_half_iter": glue_us_per_half_iter,
         "a2a_bytes_per_cw_iter": a2a_bytes,
         "boundary_bytes_per_cw_iter": boundary_bytes,
         "crc_psum_bytes_per_cw_iter": crc_bytes,
         "chunk_padding_factor": pad,
         "comm_ms_per_iter": comm_s * 1e3,
         "compute_ms_per_iter_per_chip": compute_s * 1e3,
-        "latency_speedup_vs_1chip": compute_full / (compute_s + comm_s),
-        "efficiency_zero_overlap": eff,
+        "latency_speedup_vs_1chip": compute_full / iter_s,
+        "efficiency": eff,
+        "efficiency_zero_overlap": (compute_full / n_seq)
+        / (compute_s + comm_s),
         "link_gbytes_per_s": link_gbytes,
     }
 
@@ -186,22 +213,43 @@ def main(argv=None):
         "is ~33-56% because the extrinsic all_to_all volume per codeword "
         "does not shrink with n_seq -- use it for long-block/latency "
         "SLOs, not to add throughput.")}
+    # Measured per-shard glue curve (experiments/seq_glue.py), if present.
+    glue = {}
+    try:
+        with open("experiments/seq_glue.json") as f:
+            glue = {r["n_seq"]: r["glue_us"]
+                    for r in json.load(f)["rows"]}
+        rec["glue_source"] = "experiments/seq_glue.json (measured on-chip)"
+    except Exception:
+        rec["glue_source"] = "absent (glue term = 0)"
     for n_seq in (2, 4, 8):
-        m = scaling_model(args.k, args.b_local, n_seq)
+        g = glue.get(n_seq, 0.0)
+        m = scaling_model(args.k, args.b_local, n_seq,
+                          glue_us_per_half_iter=g)
         # Sensitivity: halve / double the usable link bandwidth.
         m["efficiency_at_half_bw"] = scaling_model(
-            args.k, args.b_local, n_seq,
+            args.k, args.b_local, n_seq, glue_us_per_half_iter=g,
             link_gbytes=ICI_LINK_GBYTES / 2)["efficiency_zero_overlap"]
         m["efficiency_at_double_bw"] = scaling_model(
-            args.k, args.b_local, n_seq,
+            args.k, args.b_local, n_seq, glue_us_per_half_iter=g,
             link_gbytes=ICI_LINK_GBYTES * 2)["efficiency_zero_overlap"]
+        # Round-4 engineering modes: int8 exchange payloads, and int8 +
+        # split-batch overlap at G groups (needs b_local >= G*1024).
+        m["efficiency_int8"] = scaling_model(
+            args.k, args.b_local, n_seq, dtype_bytes=1,
+            glue_us_per_half_iter=g)["efficiency_zero_overlap"]
+        for G in (2, 4):
+            m[f"efficiency_int8_overlap{G}"] = scaling_model(
+                args.k, args.b_local, n_seq, dtype_bytes=1,
+                overlap_groups=G, glue_us_per_half_iter=g)["efficiency"]
         rec["seq_sharded"].append(m)
         print(f"n_seq={n_seq}: a2a {m['a2a_bytes_per_cw_iter']} B/cw/iter, "
               f"comm {m['comm_ms_per_iter']:.3f} ms vs per-chip compute "
               f"{m['compute_ms_per_iter_per_chip']:.3f} ms -> latency "
               f"speedup {m['latency_speedup_vs_1chip']:.2f}x, zero-overlap "
-              f"efficiency {m['efficiency_zero_overlap']:.1%} "
-              f"[{m['efficiency_at_half_bw']:.1%} at half BW]")
+              f"eff {m['efficiency_zero_overlap']:.1%} | int8 "
+              f"{m['efficiency_int8']:.1%} | int8+overlap4 "
+              f"{m['efficiency_int8_overlap4']:.1%}")
     if not args.skip_hlo:
         import jax
         try:

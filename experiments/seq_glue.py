@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Measure the seq-parallel GLUE (everything per-iteration that is not the
+chunk kernel and not a collective) on real hardware, per chunk size.
+
+Round-3 VERDICT weak 3: the 1x1 sharded path ran 8.5% below the monolithic
+flagship, attributed to "edge-table handling + exchange gathers + final
+assembly" with an UN-MODELED claim that this glue "amortizes over
+n_seq-times-smaller chunks".  One chip cannot run n_seq > 1 collectives,
+but the glue is shard-LOCAL by construction, so it can be measured
+directly: build one shard's per-half-iteration program at the chunk size C
+that n_seq in {1, 2, 4, 8} would produce --
+
+    chunk kernel (nii_boundaries + row_offset contract)
+    + local exchange gathers (local_tbl masked take, send-bucket take,
+      receive-slot scatter -- the all_to_all itself replaced by a
+      fabricated received buffer)
+    + boundary-edge selects (jnp.where on e0)
+
+-- time it, time the KERNEL ALONE at the same C, and report the delta.
+The curve feeds experiments/comm_model.py's efficiency numbers as a
+measured per-shard glue term instead of rhetoric.
+
+Run ON TPU:  python experiments/seq_glue.py
+Writes experiments/seq_glue.json.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def measure(n_seq: int, K: int = 6144, reps: int = 48) -> dict:
+    from turbotpu.decoder.turbo import DecoderConfig
+    from turbotpu.dist.seq_parallel import exchange_tables
+    from turbotpu.harness.bench import _timed, measure_roundtrip
+    from turbotpu.siso.pallas_kernel import BIG, siso_cells
+
+    from turbotpu.dist.seq_parallel import make_exchange
+
+    KT = K + 3
+    c0 = -(-KT // n_seq)
+    W = 256 if c0 > 256 else _round_up(c0, 8)
+    C = _round_up(c0, W) if c0 > W else _round_up(c0, 8)
+    if c0 <= W:
+        W = C
+    n_win = C // W
+    KTp = C * n_seq
+    cfg = DecoderConfig(K=K)
+    perm = np.asarray(cfg.perm(), np.int64)
+    ext = np.arange(K, KTp, dtype=np.int64)
+    perm_e = np.concatenate([perm, ext])
+    # THE production exchange implementation; its shard-local pieces
+    # (send-bucket gather + merged combine) are exposed precisely for
+    # this measurement -- the all_to_all itself is replaced by a
+    # fabricated receive buffer (it is comm, modeled separately).
+    xch = make_exchange(perm_e, C, n_seq)
+    M = xch.M
+    j0 = jnp.int32(0)
+
+    dt = jnp.bfloat16
+    ls = jnp.full((1, C, 8, 128), 1.0, dt)
+    lp = jnp.zeros((1, C, 8, 128), dt)
+    la = jnp.zeros((1, C, 8, 128), dt)
+    ain = jnp.zeros((1, n_win, 8, 8, 128), jnp.float32)
+    e0 = jnp.concatenate([jnp.zeros((1, 1, 8, 128), jnp.float32),
+                          jnp.full((1, 7, 8, 128), -BIG, jnp.float32)], 1)
+    rb = jnp.zeros((1, n_seq * M, 8, 128), dt) if M else None
+    row_off = jnp.zeros((1,), jnp.int32)
+
+    def half_iter(ls, lp, la, ain, edge, bT, with_glue: bool):
+        le, aout, eout, bout = siso_cells(
+            ls, lp, la, K, "maxlog", 0.75,
+            nii_boundaries=(ain, edge, bT), window=W, row_offset=row_off)
+        if not with_glue:
+            return le, aout, eout, bout
+        if M:
+            sb = xch.gather_send(le, j0)
+            la2 = xch.combine(le, rb + sb[:, :rb.shape[1]] * 0, j0)
+        else:
+            la2 = xch(le, j0)
+        # Boundary-edge selects (ppermute payloads excluded -- they are
+        # comm, modeled separately).  The predicate must be traced (the
+        # decoder's is axis_index-derived) or XLA folds the select away.
+        pred = row_off[0] == 0
+        edge2 = jnp.where(pred, e0, eout)
+        bT2 = jnp.where(pred, e0, bout)
+        return la2, aout, edge2, bT2
+
+    @functools.partial(jax.jit, static_argnames=("n", "glue"))
+    def run(ls, lp, la, ain, n: int, glue: bool):
+        def body(i, carry):
+            la, ain, edge, bT, acc = carry
+            out, aout, edge2, bT2 = half_iter(ls, lp, la, ain, edge, bT,
+                                              glue)
+            la2 = out if glue else la
+            return (la2, aout, edge2, bT2,
+                    acc + out[0, 0, 0, 0].astype(jnp.float32))
+        init = (la, ain, e0, e0, jnp.float32(0))
+        return jax.lax.fori_loop(0, n, body, init)[-1]
+
+    floor = measure_roundtrip()
+    walls = {}
+    for glue in (False, True):
+        r = reps
+        float(run(ls, lp, la, ain, r, glue))
+        wall = min(_timed(lambda: float(run(ls, lp, la, ain, r, glue)))
+                   for _ in range(5)) - floor
+        # Scale reps until compute dominates the tunnel floor 5x (small
+        # chunks finish in us; subtracting two ~25 ms walls is noise).
+        target = max(5 * floor, 0.2)
+        if wall < target:
+            r = min(r * int(np.ceil(target / max(wall, 1e-4))), 200_000)
+            float(run(ls, lp, la, ain, r, glue))
+            wall = min(_timed(lambda: float(run(ls, lp, la, ain, r, glue)))
+                       for _ in range(5)) - floor
+        walls[glue] = max(wall, 1e-9) / r
+    return {
+        "n_seq": n_seq, "C": C, "W": W, "KTp": KTp, "M_bucket": int(M),
+        "kernel_us": round(walls[False] * 1e6, 2),
+        "kernel_plus_glue_us": round(walls[True] * 1e6, 2),
+        "glue_us": round((walls[True] - walls[False]) * 1e6, 2),
+        "glue_frac_of_kernel": round(
+            (walls[True] - walls[False]) / walls[False], 4),
+    }
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    rows = [measure(n) for n in (1, 2, 4, 8)]
+    for r in rows:
+        print(json.dumps(r), flush=True)
+    out = {"note": ("per-shard per-half-iteration glue (local exchange "
+                    "gathers + edge selects, collectives excluded) at the "
+                    "chunk size each n_seq produces; B=1024 (one cell)"),
+           "rows": rows}
+    with open("experiments/seq_glue.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("written experiments/seq_glue.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -191,3 +191,39 @@ def test_divergent_early_exit_across_data_shards(siso):
     iters = np.asarray(iters)
     assert iters[:2].max() <= 2  # the clean shard's CRC passes immediately
     assert hard.shape == (4, K)
+
+
+def test_seq_groups_pipelining_equivalence():
+    """seq_groups=2 splits the local batch into independent cell groups
+    (the async-collective overlap schedule); it is a pure partition of
+    the batch, so outputs must be IDENTICAL to the unsplit schedule."""
+    mesh = make_mesh(data=1, seq=2)
+    K, B = 40, 2048          # 2 cells locally -> 2 groups of 1 cell
+    bits, noisy = _batch(K, B, seed=9, ebn0_db=2.0)
+    spec = NamedSharding(mesh, P(("data",), None))
+    args = [jax.device_put(x, spec) for x in noisy]
+    base = dict(K=K, n_iters=2, siso="pallas", nii=True)
+    h1, i1, L1 = decode_seq_sharded(mesh, DecoderConfig(**base))(*args)
+    h2, i2, L2 = decode_seq_sharded(
+        mesh, DecoderConfig(**base, seq_groups=2))(*args)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(L1), np.asarray(L2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_seq_groups_crc_early_term_equivalence():
+    """Group-split early-termination loop: per-group syndromes/freezes
+    must reproduce the unsplit decoder exactly."""
+    mesh = make_mesh(data=1, seq=2)
+    K, B = 40, 2048
+    bits, noisy = _batch(K, B, seed=10, ebn0_db=3.0, with_crc=True)
+    spec = NamedSharding(mesh, P(("data",), None))
+    args = [jax.device_put(x, spec) for x in noisy]
+    base = dict(K=K, n_iters=3, siso="pallas", nii=True, early_term="crc",
+                crc_poly=CRC24A_POLY)
+    h1, i1, _ = decode_seq_sharded(mesh, DecoderConfig(**base))(*args)
+    h2, i2, _ = decode_seq_sharded(
+        mesh, DecoderConfig(**base, seq_groups=2))(*args)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

@@ -61,12 +61,30 @@ class DecoderConfig:
                                     # | "dma" (one Pallas kernel, both ring
                                     # directions' remote DMAs in flight --
                                     # dist/dma.py, component 23 optional)
+    seq_groups: int = 1             # seq-parallel software pipelining:
+                                    # split each shard's local batch into
+                                    # this many independent cell groups so
+                                    # XLA's async-collective scheduler can
+                                    # overlap group g's extrinsic
+                                    # all_to_all with group g+1's chunk
+                                    # kernel (round-3 VERDICT item 2b).
+                                    # Needs local batch >= groups*1024;
+                                    # silently 1 otherwise
     nii: bool = False               # Pallas path: skip the exact phase-1
                                     # alpha pass; window-start alphas inherit
                                     # from the previous half-iteration
                                     # (next-iteration initialization).
                                     # ~25-30% faster; BER validated within
                                     # the 0.05 dB bar (tests/ber)
+    fold_gather: bool = False       # Pallas+nii shared-interleaver path:
+                                    # fold the extrinsic interleave into
+                                    # the kernel's la stream (per-row DMA
+                                    # through the QPP table, issues
+                                    # interleaved with compute) -- each
+                                    # SISO reads the other's RAW extrinsic
+                                    # output, eliminating the materialized
+                                    # per-half-iteration HBM gathers
+                                    # (round-3 VERDICT item 1)
 
     def perm(self) -> np.ndarray:
         return qpp_perm(self.K) if self.interleaver == "lte" else umts_perm(self.K)

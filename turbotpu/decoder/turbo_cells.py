@@ -93,6 +93,24 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
     # half-iterations (zeros = uniform cold start; [_, 0] ignored in-kernel).
     zC = jnp.zeros((n_cells, n_win, 8, 8, 128), f32) if cfg.nii else None
 
+    # fold_gather: both SISOs read the other's RAW extrinsic tensor
+    # through their own in-kernel per-row-DMA gather tables -- no
+    # materialized interleave in the loop at all (round-3 VERDICT item 1).
+    # Shared-table NII batches only; per-codeword (mixed-K) tables keep
+    # the take_along_axis path.
+    fold = cfg.fold_gather and cfg.nii and perm_b is None
+
+    def half_iters_fold(le2, le1, ck1, ck2):
+        with jax.named_scope("siso1_fold"):
+            le1, ck1 = siso_cells(ls1_c, lp1_c, le2, K, cfg.mode, scale,
+                                  nii_ckpt=ck1, window=W, ext_qscale=qs,
+                                  gather_idx=inv_e)
+        with jax.named_scope("siso2_fold"):
+            le2, ck2 = siso_cells(ls2_c, lp2_c, le1, K, cfg.mode, scale,
+                                  nii_ckpt=ck2, window=W, ext_qscale=qs,
+                                  gather_idx=perm_e)
+        return le2, le1, ck1, ck2
+
     def half_iters(le21, le1, ck1, ck2):
         """The two SISO half-iterations + extrinsic interleave gathers --
         the only per-iteration work that is algorithmically required."""
@@ -130,14 +148,19 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
         # Lean loop: no L/hard/freeze bookkeeping inside -- those tensors
         # are pure HBM traffic that rivals the kernels themselves (measured
         # in experiments/pk_cost8.py).  Compute outputs once after the loop.
+        # With fold_gather the carry holds RAW le2 (interleaved order) and
+        # the single deinterleave for L runs once, after the loop.
         def body(carry):
             it, le21, le1, ck1, ck2 = carry
-            le21, le1, ck1, ck2 = half_iters(le21, le1, ck1, ck2)
+            step = half_iters_fold if fold else half_iters
+            le21, le1, ck1, ck2 = step(le21, le1, ck1, ck2)
             return it + 1, le21, le1, ck1, ck2
 
         _, le21, le1, _, _ = jax.lax.while_loop(
             lambda c: c[0] < cfg.n_iters, body,
             (jnp.int32(0), zT, zT, zC, zC))
+        if fold:
+            le21 = g_inv(le21)       # carry was raw le2
         L = full_llr(le21, le1)
         hard = (L < 0).astype(jnp.int8)
         hard_b = from_cells(hard)[:B]
@@ -154,8 +177,12 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
 
     def body(carry):
         it, le21, le1, ck1, ck2, L_prev, hard_prev, done, iters = carry
-        le21, le1, ck1, ck2 = half_iters(le21, le1, ck1, ck2)
-        L_new = full_llr(le21, le1)
+        step = half_iters_fold if fold else half_iters
+        le21, le1, ck1, ck2 = step(le21, le1, ck1, ck2)
+        # Under fold the carry holds raw le2; the convergence check needs
+        # natural order, so ONE gather per iteration remains (vs two).
+        le21_nat = g_inv(le21) if fold else le21
+        L_new = full_llr(le21_nat, le1)
         hard_new = (L_new < 0).astype(jnp.int8)
 
         if cfg.early_term == "crc":

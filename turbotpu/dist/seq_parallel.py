@@ -97,12 +97,32 @@ def exchange_tables(perm_e: np.ndarray, C: int, n_seq: int,
 def make_exchange(perm_e: np.ndarray, C: int, n_seq: int,
                   axis_name: str = "seq", real_len: int | None = None):
     """Build fn(le_local, j) -> la_local applying the static permutation
-    across chunk-sharded rows (axis 1) with one all_to_all."""
+    across chunk-sharded rows (axis 1) with one all_to_all.
+
+    Round-4 formulation (driven by experiments/seq_glue.py: the previous
+    receive-SCATTER dominated the seq path's per-iteration glue, costing
+    1.9-2.3x the chunk kernel itself at n_seq in {2,4}): the received
+    buckets are CONCATENATED onto the local tensor and the destination is
+    assembled by ONE merged gather -- merged_tbl[j, t] indexes into
+    [local rows 0..C) ++ [receive buffer rows C..C+n_seq*M), sentinel =
+    the zero row.  Gathers run at HBM bandwidth on TPU; row scatters do
+    not (XLA lowers them to a full-tensor copy + serialized updates).
+    """
     local_np, send_np, slot_np, M = exchange_tables(perm_e, C, n_seq,
                                                     real_len)
     local_tbl = jnp.asarray(local_np)
     send_tbl = jnp.asarray(send_np.reshape(n_seq, -1))
-    slot_tbl = jnp.asarray(slot_np)
+
+    # merged_tbl: local offsets stay; cross-shard destinations point past
+    # C into the received buffer; sentinel S masks to the zero row.
+    S = C + n_seq * M
+    merged_np = np.where(local_np == C, S, local_np).astype(np.int32)
+    for j in range(n_seq):
+        for r in range(n_seq * M):
+            t = slot_np[j, r]
+            if t != C:
+                merged_np[j, t] = C + r
+    merged_tbl = jnp.asarray(merged_np)
 
     # Pad entries (value C, the "zero row") are handled with clamp+mask
     # selects that XLA fuses into the gather consumers, NOT by
@@ -112,8 +132,8 @@ def make_exchange(perm_e: np.ndarray, C: int, n_seq: int,
     # entry exists at all (measured round 3; RESULTS.md C5).
     no_pad_rows = not (local_np == C).any()
 
-    def _masked_take(le_local, tbl_row):
-        mask = tbl_row < C
+    def _masked_take(le_local, tbl_row, n_src):
+        mask = tbl_row < n_src
         out = jnp.take(le_local, jnp.where(mask, tbl_row, 0), axis=1)
         # Broadcast the mask along axis 1 whatever the operand rank (the
         # scan path passes (B, C); the cells path (cells, C, 8, 128)).
@@ -121,21 +141,35 @@ def make_exchange(perm_e: np.ndarray, C: int, n_seq: int,
         return jnp.where(mask.reshape(bshape), out,
                          jnp.zeros((), le_local.dtype))
 
+    def gather_send(le_local: jax.Array, j: jax.Array) -> jax.Array:
+        """The per-peer send buckets (the all_to_all payload)."""
+        return _masked_take(le_local, jnp.take(send_tbl, j, axis=0), C)
+
+    def combine(le_local: jax.Array, rb: jax.Array, j: jax.Array
+                ) -> jax.Array:
+        """Assemble la from local rows + received buckets: one gather."""
+        src = jnp.concatenate([le_local, rb], axis=1)
+        return _masked_take(src, jnp.take(merged_tbl, j, axis=0), S)
+
     def apply(le_local: jax.Array, j: jax.Array) -> jax.Array:
-        loc = jnp.take(local_tbl, j, axis=0)
         if M == 0 and no_pad_rows:
             # n_seq == 1: a pure local permutation, identical in cost to
             # the monolithic decoder's extrinsic gather.
-            return jnp.take(le_local, loc, axis=1)
-        la = _masked_take(le_local, loc)
+            return jnp.take(le_local, jnp.take(local_tbl, j, axis=0),
+                            axis=1)
         if M == 0:
-            return la
-        sb = _masked_take(le_local, jnp.take(send_tbl, j, axis=0))
+            return _masked_take(le_local, jnp.take(local_tbl, j, axis=0),
+                                C)
+        sb = gather_send(le_local, j)
         rb = jax.lax.all_to_all(sb, axis_name, split_axis=1, concat_axis=1,
                                 tiled=True)
-        # slot C (dropped pad) relies on scatter mode="drop".
-        return la.at[:, jnp.take(slot_tbl, j, axis=0)].set(rb, mode="drop")
+        return combine(le_local, rb, j)
 
+    # Exposed for the glue benchmark (experiments/seq_glue.py), which
+    # measures the shard-local parts with a fabricated receive buffer.
+    apply.gather_send = gather_send
+    apply.combine = combine
+    apply.M = M
     return apply
 
 
@@ -395,10 +429,30 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
         lp2_c = stream(lp2, t2[:, 1::2], 0.0)
         n_cells = ls1_c.shape[0]
 
+        # Software pipelining (round-3 VERDICT item 2b): split the local
+        # batch into nG INDEPENDENT cell groups.  Groups share no data
+        # until the final assembly, so XLA's async-collective scheduler
+        # is free to overlap group g's extrinsic all_to_all / boundary
+        # ppermute with group g+1's chunk kernel -- the exchange leaves
+        # the critical path up to the pipeline-fill tail (modeled in
+        # experiments/comm_model.py overlap mode).  Every shard iterates
+        # groups in the same order, so the collective sequence stays
+        # identical across the mesh (no deadlock risk).
+        nG = cfg.seq_groups if (cfg.seq_groups > 1
+                                and n_cells % cfg.seq_groups == 0
+                                and cfg.boundary_xch != "dma") else 1
+        n_g = n_cells // nG
+
+        def split(x):
+            return [x[g * n_g:(g + 1) * n_g] for g in range(nG)]
+
+        ls1_g, lp1_g = split(ls1_c), split(lp1_c)
+        ls2_g, lp2_g = split(ls2_c), split(lp2_c)
+
         e0 = jnp.concatenate(
-            [jnp.zeros((n_cells, 1, 8, 128), jnp.float32),
-             jnp.full((n_cells, 7, 8, 128), -PBIG, jnp.float32)], axis=1)
-        uni = jnp.zeros((n_cells, 8, 8, 128), jnp.float32)
+            [jnp.zeros((n_g, 1, 8, 128), jnp.float32),
+             jnp.full((n_g, 7, 8, 128), -PBIG, jnp.float32)], axis=1)
+        uni = jnp.zeros((n_g, 8, 8, 128), jnp.float32)
         G_chunks = (jnp.asarray(G_chunks_np) if G_chunks_np is not None
                     else None)
         # Rows with global index >= K carry +-BIG pad-step garbage
@@ -464,37 +518,49 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
 
         deq = scale * (qs if qs else 1.0)  # int8 extrinsic dequant
 
-        def full_llr(le1, le21):
+        def full_llr(ls1_loc, le1, le21):
             f32 = jnp.float32
-            return (ls1_c.astype(f32)
+            return (ls1_loc.astype(f32)
                     + deq * (le1.astype(f32) + le21.astype(f32)))
 
         # NII carries (per-window alpha-start table, chunk edge); exact
         # mode carries chunk-edge metrics only.  Zeros = uniform cold
         # start; shard 0's chunk edge is the exact trellis edge e0.
-        if cfg.nii:
-            a_init = (jnp.zeros((n_cells, n_win, 8, 8, 128), jnp.float32),
-                      jnp.where(j == 0, e0, jnp.zeros_like(e0)))
-        else:
-            a_init = uni
+        def make_a_init():
+            if cfg.nii:
+                return (jnp.zeros((n_g, n_win, 8, 8, 128), jnp.float32),
+                        jnp.where(j == 0, e0, jnp.zeros_like(e0)))
+            return uni
 
         if cfg.early_term == "none":
             # Lean loop (decoder/turbo_cells.py convention): no per-
             # iteration L/hard/freeze HBM tensors -- outputs once after.
+            # The group loop is unrolled at trace time; each group's ops
+            # depend only on its own carry, exposing the exchange/kernel
+            # overlap across groups to the scheduler.
             def body_lean(carry):
-                it, le21, le1p, a1, b1, a2, b2 = carry
-                le1, a1o, b1o = siso_chunk(ls1_c, lp1_c, le21, a1, b1)
-                le2, a2o, b2o = siso_chunk(ls2_c, lp2_c, xch_perm(le1, j),
-                                           a2, b2)
-                le21n = xch_inv(le2, j)
-                a1n, b1n, a2n, b2n = xch_edges(a1o, b1o, a2o, b2o)
-                return it + 1, le21n, le1, a1n, b1n, a2n, b2n
+                it, groups = carry
+                out = []
+                for g in range(nG):
+                    le21, le1p, a1, b1, a2, b2 = groups[g]
+                    le1, a1o, b1o = siso_chunk(ls1_g[g], lp1_g[g], le21,
+                                               a1, b1)
+                    le2, a2o, b2o = siso_chunk(ls2_g[g], lp2_g[g],
+                                               xch_perm(le1, j), a2, b2)
+                    le21n = xch_inv(le2, j)
+                    a1n, b1n, a2n, b2n = xch_edges(a1o, b1o, a2o, b2o)
+                    out.append((le21n, le1, a1n, b1n, a2n, b2n))
+                return it + 1, tuple(out)
 
-            zT = jnp.zeros((n_cells, C, 8, 128), dte)
-            _, le21, le1, _, _, _, _ = jax.lax.while_loop(
+            zT = jnp.zeros((n_g, C, 8, 128), dte)
+            init_g = tuple((zT, zT, make_a_init(), uni, make_a_init(), uni)
+                           for _ in range(nG))
+            _, groups = jax.lax.while_loop(
                 lambda c: c[0] < cfg.n_iters, body_lean,
-                (jnp.int32(0), zT, zT, a_init, uni, a_init, uni))
-            L_c = full_llr(le1, le21)
+                (jnp.int32(0), init_g))
+            L_c = jnp.concatenate(
+                [full_llr(ls1_g[g], groups[g][1], groups[g][0])
+                 for g in range(nG)])
             hard_c = (L_c < 0).astype(jnp.int8)
             hard = jax.lax.all_gather(hard_c, "seq", axis=1, tiled=True)
             L = jax.lax.all_gather(L_c, "seq", axis=1, tiled=True)
@@ -507,57 +573,65 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             return (it < cfg.n_iters) & (undone_g > 0)
 
         def body(carry):
-            (it, le21, a1, b1, a2, b2, L_prev, hard_prev, done, iters,
-             _) = carry
-            # Extrinsics stay unscaled; the kernel applies `scale` to its
-            # a-priori input, exactly as in decoder/turbo_cells.py.
-            le1, a1o, b1o = siso_chunk(ls1_c, lp1_c, le21, a1, b1)
-            le2, a2o, b2o = siso_chunk(ls2_c, lp2_c, xch_perm(le1, j),
-                                       a2, b2)
-            le21_new = xch_inv(le2, j)
-            L_new = full_llr(le1, le21_new)
-            hard_new = (L_new < 0).astype(jnp.int8)
-            a1n, b1n, a2n, b2n = xch_edges(a1o, b1o, a2o, b2o)
+            it, groups, _ = carry
+            out, undone_local = [], jnp.int32(0)
+            for g in range(nG):
+                (le21, a1, b1, a2, b2, L_prev, hard_prev, done,
+                 iters) = groups[g]
+                # Extrinsics stay unscaled; the kernel applies `scale` to
+                # its a-priori input, as in decoder/turbo_cells.py.
+                le1, a1o, b1o = siso_chunk(ls1_g[g], lp1_g[g], le21, a1, b1)
+                le2, a2o, b2o = siso_chunk(ls2_g[g], lp2_g[g],
+                                           xch_perm(le1, j), a2, b2)
+                le21_new = xch_inv(le2, j)
+                L_new = full_llr(ls1_g[g], le1, le21_new)
+                hard_new = (L_new < 0).astype(jnp.int8)
+                a1n, b1n, a2n, b2n = xch_edges(a1o, b1o, a2o, b2o)
 
-            if cfg.early_term == "crc":
-                # Shard-local partial syndrome, psum'd over 'seq' (GF(2)
-                # linearity): (cells, 24, 8, 128) replaces a K-row gather.
-                G_loc = jnp.take(G_chunks, j, axis=0)         # (C, 24)
-                synd = jax.lax.psum(jnp.einsum(
-                    "nchw,ck->nkhw", hard_new.astype(jnp.float32), G_loc,
-                    preferred_element_type=jnp.float32), "seq")
-                newly_done = jnp.all(synd % 2.0 == 0.0, axis=1)
-            elif cfg.early_term == "sign":
-                agree = jnp.all((hard_new == hard_prev)
-                                | ~real_mask, axis=1)
-                newly_done = jax.lax.psum(
-                    agree.astype(jnp.int32), "seq") == n_seq
-            else:
-                newly_done = jnp.zeros((n_cells, 8, 128), bool)
-            keep = done[:, None]
-            le21 = jnp.where(keep, le21, le21_new)
-            L = jnp.where(keep, L_prev, L_new)
-            hard = jnp.where(keep, hard_prev, hard_new)
-            iters = iters + (~done).astype(jnp.int32)
-            done = done | newly_done
+                if cfg.early_term == "crc":
+                    # Shard-local partial syndrome, psum'd over 'seq'
+                    # (GF(2) linearity): (cells, 24, 8, 128) replaces a
+                    # K-row gather.
+                    G_loc = jnp.take(G_chunks, j, axis=0)     # (C, 24)
+                    synd = jax.lax.psum(jnp.einsum(
+                        "nchw,ck->nkhw", hard_new.astype(jnp.float32),
+                        G_loc, preferred_element_type=jnp.float32), "seq")
+                    newly_done = jnp.all(synd % 2.0 == 0.0, axis=1)
+                elif cfg.early_term == "sign":
+                    agree = jnp.all((hard_new == hard_prev)
+                                    | ~real_mask, axis=1)
+                    newly_done = jax.lax.psum(
+                        agree.astype(jnp.int32), "seq") == n_seq
+                else:
+                    newly_done = jnp.zeros((n_g, 8, 128), bool)
+                keep = done[:, None]
+                le21 = jnp.where(keep, le21, le21_new)
+                L = jnp.where(keep, L_prev, L_new)
+                hard = jnp.where(keep, hard_prev, hard_new)
+                iters = iters + (~done).astype(jnp.int32)
+                done = done | newly_done
+                undone_local += jnp.sum((~done).astype(jnp.int32))
+                out.append((le21, a1n, b1n, a2n, b2n, L, hard, done, iters))
             # Global early-exit flag: see _decode_seq_sharded_scan -- 'data'
             # shards must take identical trip counts or their rows'
             # collectives desync (XLA:CPU deadlocks outright).
-            undone_g = jax.lax.psum(
-                jnp.sum((~done).astype(jnp.int32)), "data")
-            return (it + 1, le21, a1n, b1n, a2n, b2n, L, hard, done, iters,
-                    undone_g)
+            undone_g = jax.lax.psum(undone_local, "data")
+            return it + 1, tuple(out), undone_g
 
-        init = (jnp.int32(0),
-                jnp.zeros((n_cells, C, 8, 128), dte),
-                a_init, uni, a_init, uni,
-                jnp.zeros((n_cells, C, 8, 128), jnp.float32),
-                jnp.zeros((n_cells, C, 8, 128), jnp.int8),
-                jnp.zeros((n_cells, 8, 128), bool),
-                jnp.zeros((n_cells, 8, 128), jnp.int32),
+        def init_group():
+            return (jnp.zeros((n_g, C, 8, 128), dte),
+                    make_a_init(), uni, make_a_init(), uni,
+                    jnp.zeros((n_g, C, 8, 128), jnp.float32),
+                    jnp.zeros((n_g, C, 8, 128), jnp.int8),
+                    jnp.zeros((n_g, 8, 128), bool),
+                    jnp.zeros((n_g, 8, 128), jnp.int32))
+
+        init = (jnp.int32(0), tuple(init_group() for _ in range(nG)),
                 jnp.int32(1))
-        out = jax.lax.while_loop(cond, body, init)
-        (_, _, _, _, _, _, L_c, hard_c, done, iters, _) = out
+        _, groups, _ = jax.lax.while_loop(cond, body, init)
+        L_c = jnp.concatenate([groups[g][5] for g in range(nG)])
+        hard_c = jnp.concatenate([groups[g][6] for g in range(nG)])
+        iters = jnp.concatenate([groups[g][8] for g in range(nG)])
         # Single assembly gather after the loop.
         hard = jax.lax.all_gather(hard_c, "seq", axis=1, tiled=True)
         L = jax.lax.all_gather(L_c, "seq", axis=1, tiled=True)

@@ -269,6 +269,11 @@ def bench_compaction(cfg: DecoderConfig, B: int, ebn0_db: float,
         "iter_batches_compacted": units_compact,
         "iter_batches_single": units_single,
         "device_work_speedup": units_single / units_compact,
+        # Throughput projection at a realistic host (10 us/dispatch), so
+        # the device-work ratio is inspectable as a wall-clock statement
+        # rather than an iteration count (round-3 VERDICT item 7).
+        "projected_speedup_at_10us_dispatch": t_single / t_comp,
+        "projected_mbit_per_s_at_10us_dispatch": info_bits / t_comp / 1e6,
         "mbit_per_s_compacted_tunnel": info_bits / wall_c_corr / 1e6,
         "mbit_per_s_single_tunnel": info_bits / wall_s_corr / 1e6,
         "wall_raw_compacted_s": wall_c,

@@ -166,7 +166,8 @@ def _quantize_le(le: jax.Array, dt, qscale: float) -> jax.Array:
 
 def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
                  boundary: bool, nii: bool = False,
-                 with_offset: bool = False, ext_qscale: float = 0.0):
+                 with_offset: bool = False, ext_qscale: float = 0.0,
+                 fold_gather: bool = False):
     """Fused SISO kernel body.
 
     Streams raw (ls, lp, la) from HBM and forms branch metrics in VMEM:
@@ -218,10 +219,19 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
     n_sub = W // UNROLL
     assert W % UNROLL == 0
     assert not (with_offset and not boundary)
+    # fold_gather (the in-kernel extrinsic interleave): supported on the
+    # NII non-boundary contract -- the flagship's hot path.  The exact
+    # two-phase kernel keeps the materialized XLA gather.
+    assert not fold_gather or (nii and not boundary)
     # int8 extrinsic dequant rides the existing a-priori scale multiply.
     eff_scale = scale * (ext_qscale if ext_qscale else 1.0)
 
     def kernel(*refs):
+        if fold_gather:
+            # Scalar-prefetched (KTp,) int32 gather table: la row t of this
+            # SISO's trellis order lives at la_hbm[:, idx[t]].
+            idx_ref = refs[0]
+            refs = refs[1:]
         if with_offset:
             # Offset rides as the 4th input (after the three streams).
             off_ref = refs[3]
@@ -249,14 +259,17 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
         cell = pl.program_id(0)
 
         def in_dma(slot, w):
-            return (
+            copies = [
                 pltpu.make_async_copy(ls_hbm.at[cell, pl.ds(w * W, W)],
                                       ls_buf.at[slot], ls_sem.at[slot]),
                 pltpu.make_async_copy(lp_hbm.at[cell, pl.ds(w * W, W)],
                                       lp_buf.at[slot], lp_sem.at[slot]),
-                pltpu.make_async_copy(la_hbm.at[cell, pl.ds(w * W, W)],
-                                      la_buf.at[slot], la_sem.at[slot]),
-            )
+            ]
+            if not fold_gather:
+                copies.append(
+                    pltpu.make_async_copy(la_hbm.at[cell, pl.ds(w * W, W)],
+                                          la_buf.at[slot], la_sem.at[slot]))
+            return copies
 
         def start_in(slot, w):
             for d in in_dma(slot, w):
@@ -265,6 +278,31 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
         def wait_in(slot, w):
             for d in in_dma(slot, w):
                 d.wait()
+
+        if fold_gather:
+            # The interleave gather folded into the la stream: one DMA per
+            # trellis row (rows are contiguous (8, 128) batch tiles; QPP
+            # contention-freeness guarantees conflict-free, NOT contiguous,
+            # access -- see experiments/gather_inkernel.py).  Issue cost
+            # (~19 ns/row standalone) is hidden by interleaving 4 starts
+            # per unroll block with the window's VPU compute; waits ride
+            # the alpha-recompute pass, the row's first consumer.
+            def la_row(slot, i, w):
+                # One semaphore per UNROLL block of rows (a flat per-row
+                # array tripped a Mosaic semaphore-count limit at W=256):
+                # all 8 row copies of a block signal the same semaphore;
+                # the consumer waits 8 times on it, which is order-
+                # -independent because DMA semaphores are counters.
+                return pltpu.make_async_copy(
+                    la_hbm.at[cell, idx_ref[w * W + i]],
+                    la_buf.at[slot, i], la_sem.at[slot, i // UNROLL])
+
+            def start_la_window(slot, w):
+                # Serial warm-up for the first processed window only.
+                def b(i, _):
+                    la_row(slot, i, w).start()
+                    return 0
+                jax.lax.fori_loop(0, W, b, 0)
 
         def rows(slot, i, w):
             """Branch metrics for one unroll block, formed in registers:
@@ -330,6 +368,8 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
 
         # ---------------- Phase 2: backward, recompute alpha, emit Le -----
         start_in((n_win - 1) % 2, n_win - 1)
+        if fold_gather:
+            start_la_window((n_win - 1) % 2, n_win - 1)
 
         def phase2_body(wi, beta):
             w = n_win - 1 - wi
@@ -361,6 +401,21 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
                 alpha = tuple(ckpt[w, s] for s in range(8))
 
             def rec_body(i, alpha):
+                if fold_gather:
+                    # This block's la rows were issued one window ago;
+                    # retire them, then issue the FIRST half of the next
+                    # window's rows (4 per block), interleaved with the
+                    # block's vector compute so the scalar-core issue cost
+                    # co-schedules instead of serializing.
+                    for j in range(UNROLL):
+                        la_row(slot, i * UNROLL + j, w).wait()
+
+                    @pl.when(w >= 1)
+                    def _():
+                        nslot = jax.lax.rem(w + 1, 2)
+                        for r in range(UNROLL // 2):
+                            la_row(nslot, i * (UNROLL // 2) + r,
+                                   w - 1).start()
                 for j, (ca, cp) in enumerate(rows(slot, i, w)):
                     t = i * UNROLL + j
                     for s in range(8):
@@ -389,6 +444,14 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
                         aout_ref[0, w + 1, s] = alpha_end[s]
 
             def bwd_body(i, beta):
+                if fold_gather:
+                    # Second half of the next window's la rows (4/block).
+                    @pl.when(w >= 1)
+                    def _():
+                        nslot = jax.lax.rem(w + 1, 2)
+                        for r in range(UNROLL // 2):
+                            la_row(nslot, W // 2 + i * (UNROLL // 2) + r,
+                                   w - 1).start()
                 i0 = W - (i + 1) * UNROLL
                 blk = rows(slot, i0 // UNROLL, w)
                 for j in range(UNROLL - 1, -1, -1):
@@ -425,16 +488,20 @@ def _build_call(n_cells: int, KTp: int, W: int, mode: str, K_real: int,
                 scale: float, boundary: bool, interpret: bool,
                 io_dtype: str = "float32", nii: bool = False,
                 with_offset: bool = False, ext_dtype: str = "",
-                ext_qscale: float = 0.0):
+                ext_qscale: float = 0.0, fold_gather: bool = False):
     n_win = KTp // W
     dt = jnp.dtype(io_dtype)            # channel streams (ls, lp)
     dte = jnp.dtype(ext_dtype or io_dtype)  # extrinsic streams (la, le)
     kernel = _make_kernel(n_win, W, mode, K_real, scale, boundary, nii,
-                          with_offset, ext_qscale)
+                          with_offset, ext_qscale, fold_gather)
     stream = pl.BlockSpec(memory_space=pltpu.ANY)
     edge_in = pl.BlockSpec((1, 8, 8, 128), lambda c: (c, 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    ckpt_spec = pl.BlockSpec((1, n_win, 8, 8, 128), lambda c: (c, 0, 0, 0, 0),
+    # Index maps get the scalar-prefetch ref as an extra arg under
+    # PrefetchScalarGridSpec (the fold_gather call form).
+    ckpt_map = ((lambda c, idx: (c, 0, 0, 0, 0)) if fold_gather
+                else (lambda c: (c, 0, 0, 0, 0)))
+    ckpt_spec = pl.BlockSpec((1, n_win, 8, 8, 128), ckpt_map,
                              memory_space=pltpu.VMEM)
     edge_shape = jax.ShapeDtypeStruct((n_cells, 8, 8, 128), jnp.float32)
     ckpt_shape = jax.ShapeDtypeStruct((n_cells, n_win, 8, 8, 128),
@@ -465,11 +532,29 @@ def _build_call(n_cells: int, KTp: int, W: int, mode: str, K_real: int,
         pltpu.VMEM((W, 8, 128), dte),                 # Le window buffer
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)),
+        # la: per-unroll-block DMA semaphores when the gather is folded
+        # in-kernel (shared by the block's 8 row copies).
+        pltpu.SemaphoreType.DMA((2, W // UNROLL) if fold_gather else (2,)),
         pltpu.SemaphoreType.DMA,
     ]
     if nii:
         del scratch[3]  # no phase-1 checkpoint buffer
+    if fold_gather:
+        # The gather table rides as a scalar-prefetch operand so row
+        # indices are readable when constructing DMA descriptors.
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_cells,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            scratch_shapes=scratch,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=tuple(out_shape),
+            interpret=interpret,
+        )
     return pl.pallas_call(
         kernel,
         grid=(n_cells,),
@@ -510,7 +595,8 @@ def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
                nii_boundaries: tuple[jax.Array, jax.Array] | None = None,
                window: int = 0,
                row_offset: jax.Array | None = None,
-               ext_qscale: float = 0.0):
+               ext_qscale: float = 0.0,
+               gather_idx: jax.Array | None = None):
     # nii_boundaries is the 3-tuple (ain, edge_in, bT); see docstring.
     """Cell-layout kernel entry: raw LLR streams in, extrinsics out.
 
@@ -572,6 +658,12 @@ def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
         + (nii_boundaries is not None) <= 1
     assert row_offset is None or boundaries is not None \
         or nii_boundaries is not None
+    # gather_idx (the in-kernel interleave fold): a shared (KTp,) int32
+    # table; la row t of this SISO's trellis order is read from
+    # la_cells[:, gather_idx[t]] by per-row DMA -- the caller passes the
+    # OTHER SISO's raw extrinsic output and no materialized gather runs.
+    # NII non-boundary contract only (the flagship hot path).
+    assert gather_idx is None or nii_ckpt is not None
     W = window or window_len(KTp)
     assert KTp % W == 0 and W % UNROLL == 0
     call = _build_call(n_cells, KTp, W, mode, K_real, float(scale),
@@ -579,14 +671,19 @@ def siso_cells(ls_cells: jax.Array, lp_cells: jax.Array, la_cells: jax.Array,
                        interpret, io_dtype=str(ls_cells.dtype),
                        nii=nii_ckpt is not None or nii_boundaries is not None,
                        with_offset=row_offset is not None,
-                       ext_dtype=str(ext_dt), ext_qscale=float(ext_qscale))
+                       ext_dtype=str(ext_dt), ext_qscale=float(ext_qscale),
+                       fold_gather=gather_idx is not None)
     off = (row_offset.astype(jnp.int32),) if row_offset is not None else ()
     if nii_boundaries is not None:
         return call(ls_cells, lp_cells, la_cells, *off, *nii_boundaries)
     if boundaries is not None:
         return call(ls_cells, lp_cells, la_cells, *off, *boundaries)
     if nii_ckpt is not None:
-        le, ckpt = call(ls_cells, lp_cells, la_cells, nii_ckpt)
+        if gather_idx is not None:
+            le, ckpt = call(gather_idx.astype(jnp.int32), ls_cells,
+                            lp_cells, la_cells, nii_ckpt)
+        else:
+            le, ckpt = call(ls_cells, lp_cells, la_cells, nii_ckpt)
         return le, ckpt
     return call(ls_cells, lp_cells, la_cells)[0]
 
