@@ -50,11 +50,12 @@ import numpy as np
 ICI_AGGREGATE_GBPS = 1600.0
 ICI_LINK_GBYTES = ICI_AGGREGATE_GBPS / 8 / 4   # 50 GB/s per link direction
 
-# Flagship measured per-chip compute (round 3, RESULTS.md): 3.17 Gbit/s
-# decoded at K=6144, 6 iterations, B=1024 -> per-iteration wall time.
-# (A faster kernel makes the zero-overlap seq-axis efficiency numbers
-# slightly MORE pessimistic -- comm volume is unchanged.)
-FLAGSHIP_GBIT_S = 3.17
+# Flagship measured per-chip compute: Gbit/s decoded at K=6144, 6
+# iterations, B=1024 -> per-iteration wall time.  (A faster kernel makes
+# the zero-overlap seq-axis efficiency numbers slightly MORE pessimistic
+# -- comm volume is unchanged.)
+FLAGSHIP_GBIT_S = 3.08   # round-4 median of 5 runs, spread 2.9%
+                         # (experiments/flagship_tuning.json)
 FLAGSHIP_ITERS = 6
 
 

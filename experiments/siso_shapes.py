@@ -77,6 +77,10 @@ def main(argv=None):
     ap.add_argument("--bs", type=int, nargs="+", default=[8, 64, 1024])
     ap.add_argument("--variants", nargs="+",
                     default=["scan", "ascan", "pallas"])
+    ap.add_argument("--mode", default="maxlog",
+                    choices=["maxlog", "logmap", "linlog"],
+                    help="MAP variant (round-3 VERDICT item 4: logmap's "
+                         "kernel cost was never measured)")
     ap.add_argument("--reps", type=int, default=32)
     ap.add_argument("--out", default="experiments/siso_shapes.json")
     args = ap.parse_args(argv)
@@ -92,7 +96,8 @@ def main(argv=None):
             row = {"K": K, "B": B}
             for v in args.variants:
                 try:
-                    t = bench_one(v, K, B, reps=args.reps)
+                    t = bench_one(v, K, B, mode=args.mode,
+                                  reps=args.reps)
                     row[v] = t
                     row[f"{v}_mbit_s"] = B * K / t / 1e6
                 except Exception as e:  # noqa: BLE001 - record and move on
@@ -103,7 +108,8 @@ def main(argv=None):
             rows.append(row)
             print({k: (f"{v:.2e}" if isinstance(v, float) else v)
                    for k, v in row.items() if not k.endswith("mbit_s")})
-    rec = {"backend": backend, "reps": args.reps, "rows": rows}
+    rec = {"backend": backend, "mode": args.mode,
+           "reps": args.reps, "rows": rows}
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=1)
     print(f"written {args.out}")
