@@ -137,3 +137,36 @@ def test_cells_loop_quantized_extrinsics_crc():
     h, it, _ = turbo_decode(*args, cfg)
     assert (np.asarray(h) == bits).all()
     assert (np.asarray(it) < 6).all()
+
+
+def test_cells_loop_fold_gather_equivalence():
+    """fold_gather (the in-kernel per-row-DMA interleave, kept in-tree as
+    the round-4 benchmark-decides evidence -- it LOST 2x on hardware) must
+    stay bit-identical to the materialized-gather path: the la bytes the
+    kernel consumes are the same either way."""
+    K, B = 168, 4
+    bits, noisy = _encode_noisy(K, B, seed=13, ebn0_db=1.5)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    args = [f32(x) for x in noisy]
+    base = dict(K=K, n_iters=4, mode="maxlog", ext_scale=0.75,
+                siso="pallas", io_dtype="bfloat16", nii=True, window=32)
+    h0, _, L0 = turbo_decode(*args, DecoderConfig(**base))
+    h1, _, L1 = turbo_decode(*args, DecoderConfig(**base, fold_gather=True))
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+    np.testing.assert_array_equal(np.asarray(L0), np.asarray(L1))
+
+
+def test_cells_loop_fold_gather_crc_early_term():
+    """fold + CRC early termination (one g_inv per iteration remains for
+    the natural-order convergence check)."""
+    K, B = 168, 3
+    bits, noisy = _encode_noisy(K, B, seed=4, ebn0_db=2.5, with_crc=True)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    args = [f32(x) for x in noisy]
+    base = dict(K=K, n_iters=6, mode="maxlog", ext_scale=0.75,
+                siso="pallas", early_term="crc", nii=True, window=32)
+    h0, i0, _ = turbo_decode(*args, DecoderConfig(**base))
+    h1, i1, _ = turbo_decode(*args, DecoderConfig(**base, fold_gather=True))
+    assert (np.asarray(h1) == bits).all()
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))

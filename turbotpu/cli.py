@@ -156,6 +156,15 @@ def main(argv=None):
                          "alphas inherited across half-iterations): the "
                          "flagship-speed seq-parallel path")
     c5.add_argument("--window", type=int, default=0)
+    c5.add_argument("--ext-dtype", default="",
+                    choices=["", "float32", "bfloat16", "float8_e4m3fn",
+                             "int8"],
+                    help="extrinsic/exchange dtype (int8 halves the "
+                         "all_to_all payload; BER-validated at 0.00 dB)")
+    c5.add_argument("--groups", type=int, default=1,
+                    help="split-batch pipelining groups (seq_groups): "
+                         "overlap exchange with kernel via async "
+                         "collectives; needs local batch >= groups*1024")
     c5.add_argument("--xch", default="ppermute",
                     choices=["ppermute", "dma"],
                     help="boundary-metric exchange backend")
@@ -297,6 +306,7 @@ def main(argv=None):
                      siso=args.siso, io_dtype=args.io_dtype, nii=args.nii,
                      window=args.window, boundary_xch=args.xch,
                      early_term=args.early_term, n_timed=args.reps,
+                     ext_dtype=args.ext_dtype, seq_groups=args.groups,
                      verbose=False)
         print(json.dumps(rec))
         return 0

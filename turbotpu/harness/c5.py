@@ -62,7 +62,8 @@ def run_c5(K: int = 6144, B: int = 4096, ebn0_db: float = 0.8,
            siso: str = "pallas", io_dtype: str = "bfloat16",
            nii: bool = False, window: int = 0,
            boundary_xch: str = "ppermute",
-           early_term: str = "crc") -> dict:
+           early_term: str = "crc", ext_dtype: str = "",
+           seq_groups: int = 1) -> dict:
     multi = init_distributed()
     n_dev = len(jax.devices())
     if data is None:
@@ -73,7 +74,8 @@ def run_c5(K: int = 6144, B: int = 4096, ebn0_db: float = 0.8,
     mesh = make_mesh(data=data, seq=seq)
     cfg = DecoderConfig(K=K, n_iters=n_iters, mode="maxlog", ext_scale=0.75,
                         early_term=early_term, siso=siso, io_dtype=io_dtype,
-                        nii=nii, window=window, boundary_xch=boundary_xch)
+                        nii=nii, window=window, boundary_xch=boundary_xch,
+                        ext_dtype=ext_dtype, seq_groups=seq_groups)
     decode = decode_seq_sharded(mesh, cfg)
     count = count_errors_sharded(mesh)
 
@@ -111,6 +113,7 @@ def run_c5(K: int = 6144, B: int = 4096, ebn0_db: float = 0.8,
     rec = {
         "K": K, "B": B, "mesh": {"data": data, "seq": seq},
         "siso": siso, "nii": nii, "window": window, "io_dtype": io_dtype,
+        "ext_dtype": ext_dtype, "seq_groups": seq_groups,
         "boundary_xch": boundary_xch, "early_term": early_term,
         "processes": jax.process_count(), "devices": n_dev,
         "ebn0_db": ebn0_db, "bit_errs": bit, "frame_errs": frame,
