@@ -46,10 +46,15 @@ print("RESULT", proc_id, int(bit), int(frame), flush=True)
 # 'data' row (its seq ppermutes stay local), and the per-iteration global
 # early-exit psum over 'data' crosses the process boundary -- the
 # multi-host analog of the lockstep-exit rule in dist/seq_parallel.py.
+# PRODUCTION path: Pallas NII chunk kernel + merged-gather exchange with
+# int8 payloads (round 4) -- not the scan oracle.
 from turbotpu.dist.seq_parallel import decode_seq_sharded
 mesh2 = make_mesh(data=2, seq=4)
 dec2 = decode_seq_sharded(mesh2, DecoderConfig(K=K, n_iters=2,
-                                               early_term="crc"))
+                                               early_term="crc",
+                                               siso="pallas", nii=True,
+                                               io_dtype="bfloat16",
+                                               ext_dtype="int8"))
 args2 = [make_global_array(mk(Bl, K), mesh2) for _ in range(3)]
 tails2 = [make_global_array(mk(Bl, 6), mesh2) for _ in range(2)]
 hard2, iters2, L2 = dec2(*args2, *tails2)

@@ -212,9 +212,12 @@ def test_seq_groups_pipelining_equivalence():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_seq_groups_crc_early_term_equivalence():
     """Group-split early-termination loop: per-group syndromes/freezes
-    must reproduce the unsplit decoder exactly."""
+    must reproduce the unsplit decoder exactly.  (Slow tier: B=2048
+    interpret-mode decode; the lean-loop twin above guards the fast
+    tier.)"""
     mesh = make_mesh(data=1, seq=2)
     K, B = 40, 2048
     bits, noisy = _batch(K, B, seed=10, ebn0_db=3.0, with_crc=True)
