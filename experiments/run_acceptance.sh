@@ -15,3 +15,18 @@ timeout 1200 python -m turbotpu.cli c5 >> "$OUT"
 echo "=== c6 (transport block) ===" >&2
 timeout 2400 python -m turbotpu.cli tb --config c6 --results "$OUT" --no-resume
 echo "acceptance done" >&2
+
+# Round-4 evidence artifacts (each script writes its experiments/*.json):
+# flagship variance/batch/MAP-variant tuning, window sweep + FER,
+# quantized-extrinsic BER, MAP-variant BER, seq glue, roofline,
+# in-kernel-gather feasibility, comm model.
+for exp in flagship_tuning nii_window_sweep ext_dtype_ber map_variant_ber \
+           seq_glue gather_inkernel; do
+  echo "=== experiments/$exp ===" >&2
+  timeout 2400 python "experiments/$exp.py"
+done
+echo "=== experiments/cost_breakdown roofline ===" >&2
+timeout 1200 python experiments/cost_breakdown.py roofline
+echo "=== experiments/comm_model (CPU fake mesh) ===" >&2
+JAX_PLATFORMS=cpu timeout 1200 python experiments/comm_model.py
+echo "evidence done" >&2

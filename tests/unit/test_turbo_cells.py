@@ -102,7 +102,8 @@ def test_cells_loop_nii_crc_early_term():
     assert (np.asarray(it) < 6).all()  # early exit actually fired
 
 
-@pytest.mark.parametrize("ext", ["float8_e4m3fn", "int8"])
+@pytest.mark.parametrize("ext", [
+    pytest.param("float8_e4m3fn", marks=pytest.mark.slow), "int8"])
 def test_cells_loop_quantized_extrinsics(ext):
     """Narrow extrinsic HBM streams (ext_dtype) must decode correctly and
     track the bf16-extrinsic path: the extrinsic tensors are the only
@@ -156,6 +157,7 @@ def test_cells_loop_fold_gather_equivalence():
     np.testing.assert_array_equal(np.asarray(L0), np.asarray(L1))
 
 
+@pytest.mark.slow
 def test_cells_loop_fold_gather_crc_early_term():
     """fold + CRC early termination (one g_inv per iteration remains for
     the natural-order convergence check)."""
