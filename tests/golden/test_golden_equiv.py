@@ -153,3 +153,44 @@ def test_noiseless_roundtrip_umts():
     llrs = [C * (1 - 2 * x.astype(np.float64)) for x in parts]
     hard, _, _ = numpy_ref.turbo_decode(*llrs, perm, inv, n_iters=2)
     assert (hard == bits).all()
+
+
+@pytest.mark.slow
+def test_cpp_golden_linlog_mode():
+    """The C++ golden's linlog mode (round 4) against the JAX scan
+    decoder.  linlog's clipped correction is NOT associative, and the
+    scalar model folds sequentially while JAX reduces in tree order, so
+    the cross-check is statistical (near-total hard agreement + clean
+    decode), unlike the exact logmap check."""
+    import numpy as np
+    import jax.numpy as jnp
+    from turbotpu.golden import cpp_ref
+    from turbotpu.golden import numpy_ref as npr
+    from turbotpu.spec.qpp import qpp_inv, qpp_perm
+    from turbotpu.decoder.turbo import DecoderConfig, turbo_decode
+
+    K, B = 104, 8
+    rng = np.random.default_rng(21)
+    perm, inv = qpp_perm(K), qpp_inv(K)
+    sigma = 0.85
+    agree = total = 0
+    streams_b = [[] for _ in range(5)]
+    bits_b = []
+    for b in range(B):
+        bits = rng.integers(0, 2, K).astype(np.int8)
+        bits_b.append(bits)
+        for i, s in enumerate(npr.turbo_encode(bits, perm)):
+            y = (1 - 2 * s.astype(np.float64)) \
+                + sigma * rng.normal(size=s.shape)
+            streams_b[i].append(2 * y / sigma ** 2)
+    cfg = DecoderConfig(K=K, n_iters=4, mode="linlog", siso="scan")
+    args = [jnp.asarray(np.stack(s), jnp.float32) for s in streams_b]
+    hard_j, _, _ = turbo_decode(*args, cfg)
+    hard_j = np.asarray(hard_j)
+    for b in range(B):
+        hard_c, _, _ = cpp_ref.turbo_decode(
+            *[s[b] for s in streams_b], perm, inv, n_iters=4,
+            mode="linlog")
+        agree += int((hard_c == hard_j[b]).sum())
+        total += K
+    assert agree / total > 0.995, agree / total

@@ -42,9 +42,18 @@ struct Trellis {
 
 const Trellis kTrellis;
 
-inline double maxstar(double a, double b, int maxlog) {
+// mode: 0 = log-MAP (exact Jacobian), 1 = max-log, 2 = linlog (the
+// piecewise-linear correction max(0, ln2 - |d|/4) of siso/maxstar.py;
+// NOTE it is order-dependent -- this scalar model folds sequentially,
+// the JAX kernels reduce in tree order, so linlog cross-checks carry a
+// tolerance).
+inline double maxstar(double a, double b, int mode) {
   double m = a > b ? a : b;
-  if (maxlog || m <= kNegInf / 2) return m;
+  if (mode == 1 || m <= kNegInf / 2) return m;
+  if (mode == 2) {
+    double c = 0.693147 - 0.25 * std::fabs(a - b);
+    return m + (c > 0 ? c : 0);
+  }
   return m + std::log1p(std::exp(-std::fabs(a - b)));
 }
 
@@ -81,7 +90,7 @@ void ttpu_turbo_encode(const int8_t* bits, int K, const int32_t* perm,
 
 // One SISO half-iteration over the terminated K+3-step trellis.
 // ls, lp: length K+3 (info + tail).  la: length K.  Outputs L[K], Le[K].
-// maxlog: 0 = log-MAP, 1 = max-log-MAP.
+// mode: 0 = log-MAP, 1 = max-log-MAP, 2 = linlog.
 void ttpu_bcjr_siso(const double* ls, const double* lp, const double* la,
                     int K, int maxlog, double* L, double* Le) {
   const int KT = K + 3;

@@ -65,7 +65,7 @@ def bcjr_siso(ls, lp, la, mode: str = "logmap"):
     K = len(la)
     L = np.empty(K, np.float64)
     Le = np.empty(K, np.float64)
-    lib.ttpu_bcjr_siso(ls, lp, la, K, int(mode == "maxlog"), L, Le)
+    lib.ttpu_bcjr_siso(ls, lp, la, K, {"logmap": 0, "maxlog": 1, "linlog": 2}[mode], L, Le)
     return L, Le
 
 
@@ -82,7 +82,7 @@ def turbo_decode(ls, lp1, lp2, tail1, tail2, perm, inv,
     it = lib.ttpu_turbo_decode(
         c(ls), c(lp1), c(lp2), c(tail1), c(tail2),
         np.ascontiguousarray(perm, np.int32), np.ascontiguousarray(inv, np.int32),
-        K, n_iters, int(mode == "maxlog"), float(ext_scale),
+        K, n_iters, {"logmap": 0, "maxlog": 1, "linlog": 2}[mode], float(ext_scale),
         crc_poly or 0, hard, L)
     return hard, it, L
 
