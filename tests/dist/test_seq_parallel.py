@@ -230,3 +230,34 @@ def test_seq_groups_crc_early_term_equivalence():
         mesh, DecoderConfig(**base, seq_groups=2))(*args)
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_seq_sharded_umts_interleaver():
+    """The partitioned exchange is interleaver-agnostic (routing tables
+    come from cfg.perm()); UMTS's matrix-based permutation has a very
+    different cross-shard profile than QPP, so exercise it end-to-end on
+    the composed mesh with the production chunk kernel."""
+    mesh = make_mesh(data=2, seq=2)
+    K, B = 160, 4
+    rng = np.random.default_rng(17)
+    from turbotpu.spec.umts import umts_perm
+    perm = umts_perm(K)
+    bits = np.empty((B, K), np.int8)
+    parts = [[] for _ in range(5)]
+    for b in range(B):
+        row = rng.integers(0, 2, K).astype(np.int8)
+        bits[b] = row
+        for i, x in enumerate(npr.turbo_encode(row, perm)):
+            parts[i].append(x)
+    sigma = np.sqrt(1 / (2 * 10 ** (3.0 / 10) / 3))
+    noisy = []
+    for p in parts:
+        a = np.stack(p).astype(np.float64)
+        y = (1 - 2 * a) + sigma * rng.normal(size=a.shape)
+        noisy.append(jnp.asarray(2 * y / sigma ** 2, jnp.float32))
+    cfg = DecoderConfig(K=K, n_iters=3, siso="pallas", nii=True,
+                        interleaver="umts", window=24)
+    dec = decode_seq_sharded(mesh, cfg)
+    spec = NamedSharding(mesh, P(("data",), None))
+    hard, iters, _ = dec(*[jax.device_put(x, spec) for x in noisy])
+    assert (np.asarray(hard) == bits).all()

@@ -190,6 +190,11 @@ def decode_seq_sharded(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
     batch axis sharded over 'data' and the SISO recursions split over 'seq'.
     `cfg.siso == "pallas"` selects the fused-kernel chunk path (the
     performance path on TPU); anything else uses the lax.scan chunk SISO.
+    Homogeneous-K batches only: TRUE mixed-K decoding (per-codeword
+    embedded interleaver tables) shards over the DATA axis -- per-codeword
+    gathers cannot ride the shared seq routing tables, and mixed batches
+    are a throughput workload, which is the data axis's job (see
+    experiments/comm_model.json).
     """
     if cfg.siso == "pallas":
         return _decode_seq_sharded_cells(mesh, cfg)
