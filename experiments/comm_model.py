@@ -63,11 +63,10 @@ def exchange_volume(K: int, n_seq: int, dtype_bytes: int = 2) -> dict:
     """EXACT cross-shard extrinsic row counts from the decoder's own
     routing tables (per codeword, per exchange)."""
     from turbotpu.decoder.turbo import DecoderConfig
-    from turbotpu.dist.seq_parallel import exchange_tables, _round_up
+    from turbotpu.dist.seq_parallel import chunk_sizing, exchange_tables
 
     KT = K + 3
-    c0 = -(-KT // n_seq)
-    C = _round_up(c0, 8) if c0 <= 248 else _round_up(c0, 128)
+    C, _, _, _ = chunk_sizing(KT, n_seq)   # the decoder's own geometry
     cfg = DecoderConfig(K=K)
     perm = np.asarray(cfg.perm(), np.int64)
     ext = np.arange(K, C * n_seq, dtype=np.int64)
@@ -209,11 +208,14 @@ def main(argv=None):
         "per-iteration traffic; the v5e-8 throughput configuration is "
         "data=8 x seq=1, projected 8x the measured single-chip flagship "
         "= ~24 Gbit/s >> the 1 Gbit/s target).  Trellis ('seq') sharding "
-        "is a LATENCY capability: per-batch decode latency drops ~1/n_seq "
-        "(latency_speedup field) while zero-overlap throughput efficiency "
-        "is ~33-56% because the extrinsic all_to_all volume per codeword "
-        "does not shrink with n_seq -- use it for long-block/latency "
-        "SLOs, not to add throughput.")}
+        "is a LATENCY capability AT n_seq >= 4 ONLY: with the MEASURED "
+        "per-shard glue folded in (seq_glue.json), n_seq=2 is "
+        "net-negative even for latency (latency_speedup ~0.7) and "
+        "n_seq=8 reaches ~1.7x; zero-overlap throughput efficiency is "
+        "~22-35% (int8+overlap modes model ~34-46%) because neither the "
+        "extrinsic all_to_all volume per codeword nor the exchange's "
+        "HBM glue shrinks with n_seq -- use the seq axis for long-block "
+        "latency SLOs at n_seq >= 4, never to add throughput.")}
     # Measured per-shard glue curve (experiments/seq_glue.py), if present.
     glue = {}
     try:

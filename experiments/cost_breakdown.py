@@ -59,7 +59,9 @@ def _timeit(make_run, args, reps):
         run = make_run(reps)
         float(run(*args))
         wall = _best(lambda: float(run(*args))) - floor
-    return wall / reps
+    # Floor-noise can still exceed a tiny wall when rep scaling caps out;
+    # never return a non-positive time (the round-3 failure mode).
+    return max(wall, 1e-9) / reps
 
 
 # ---------------------------------------------------------------------------

@@ -37,26 +37,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _round_up(x, m):
-    return -(-x // m) * m
-
-
 def measure(n_seq: int, K: int = 6144, reps: int = 48) -> dict:
     from turbotpu.decoder.turbo import DecoderConfig
-    from turbotpu.dist.seq_parallel import exchange_tables
+    from turbotpu.dist.seq_parallel import chunk_sizing, make_exchange
     from turbotpu.harness.bench import _timed, measure_roundtrip
     from turbotpu.siso.pallas_kernel import BIG, siso_cells
 
-    from turbotpu.dist.seq_parallel import make_exchange
-
     KT = K + 3
-    c0 = -(-KT // n_seq)
-    W = 256 if c0 > 256 else _round_up(c0, 8)
-    C = _round_up(c0, W) if c0 > W else _round_up(c0, 8)
-    if c0 <= W:
-        W = C
-    n_win = C // W
-    KTp = C * n_seq
+    # THE production geometry (round-4 review: a local re-derivation had
+    # drifted to W=256 while the decoder's default picks 128 for big
+    # chunks -- the glue must be measured at the program actually run).
+    C, W, n_win, KTp = chunk_sizing(KT, n_seq)
     cfg = DecoderConfig(K=K)
     perm = np.asarray(cfg.perm(), np.int64)
     ext = np.arange(K, KTp, dtype=np.int64)

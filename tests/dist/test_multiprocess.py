@@ -61,6 +61,17 @@ hard2, iters2, L2 = dec2(*args2, *tails2)
 bit2, frame2 = count_errors_sharded(mesh2)(hard2, make_global_array(
     np.zeros((Bl, K), np.int8), mesh2))
 print("RESULT2", proc_id, int(bit2), int(frame2), flush=True)
+
+# The SCAN chunk path too (round-4 review: it now routes garbage
+# extrinsics through real_len exchange tables and must keep cross-process
+# coverage -- its collective sequence differs from the cells path).
+dec3 = decode_seq_sharded(mesh2, DecoderConfig(K=K, n_iters=2,
+                                               early_term="crc",
+                                               siso="scan"))
+hard3, _, _ = dec3(*args2, *tails2)
+bit3, frame3 = count_errors_sharded(mesh2)(hard3, make_global_array(
+    np.zeros((Bl, K), np.int8), mesh2))
+print("RESULT3", proc_id, int(bit3), int(frame3), flush=True)
 """
 
 
@@ -144,7 +155,7 @@ def test_two_process_localhost(tmp_path):
     outs = [p.communicate(timeout=300)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
-    for tag in ("RESULT ", "RESULT2 "):
+    for tag in ("RESULT ", "RESULT2 ", "RESULT3 "):
         results = sorted(line for out in outs for line in out.splitlines()
                          if line.startswith(tag))
         assert len(results) == 2, results

@@ -33,7 +33,10 @@ class DecoderConfig:
     """Static decode configuration (hashable: used as a jit static arg)."""
     K: int
     n_iters: int = 8
-    mode: str = "logmap"            # "logmap" | "maxlog"
+    mode: str = "logmap"            # "logmap" | "maxlog" | "linlog"
+                                    # (linlog: piecewise-linear Jacobian
+                                    # correction -- log-MAP-grade BER at
+                                    # ~1.9x its speed; RESULTS.md matrix)
     ext_scale: float | None = None  # extrinsic scaling; None resolves to
                                     # 0.75 for maxlog (recovers ~0.2-0.3 dB,
                                     # SURVEY.md section 1.1), 1.0 otherwise

@@ -40,6 +40,24 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def chunk_sizing(KT: int, n_seq: int, window: int = 0
+                 ) -> tuple[int, int, int, int]:
+    """THE chunk/window geometry of the cells seq path: (C, W, n_win, KTp).
+
+    Single source of truth -- experiments/seq_glue.py and
+    experiments/comm_model.py measure/model the same geometry the
+    decoder runs (round-4 review: each had its own re-derivation, and
+    seq_glue's had drifted to a different default window)."""
+    c0 = -(-KT // n_seq)
+    W = window or (128 if c0 > 248 else 0)
+    if W and c0 > W:
+        C = _round_up(c0, W)
+    else:
+        C = _round_up(c0, 8)
+        W = C
+    return C, W, C // W, C * n_seq
+
+
 # ---------------------------------------------------------------------------
 # Partitioned extrinsic exchange
 # ---------------------------------------------------------------------------
@@ -372,15 +390,7 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
     # for big chunks, UNROLL=8 for single-window small chunks).  Pad steps
     # carry the known-0-bit metrics, so padded chunks are bit-exact at
     # real positions.
-    c0 = -(-KT // n_seq)
-    W = cfg.window or (128 if c0 > 248 else 0)
-    if W and c0 > W:
-        C = _round_up(c0, W)
-    else:
-        C = _round_up(c0, 8)
-        W = C                     # one window per chunk
-    n_win = C // W
-    KTp = C * n_seq
+    C, W, n_win, KTp = chunk_sizing(KT, n_seq, cfg.window)
     perm = np.asarray(cfg.perm())
     ext = np.arange(K, KTp, dtype=np.int64)
     perm_e = np.concatenate([perm.astype(np.int64), ext])

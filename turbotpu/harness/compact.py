@@ -212,24 +212,26 @@ def bench_compaction(cfg: DecoderConfig, B: int, ebn0_db: float,
 
     # Single-stage baseline on the same frames, one fetch per batch
     # (identical program structure to a production sweep step).  The
-    # fetched scalar packs errs*1e4 + max-iters so the baseline's REAL
-    # trip count is recovered (round-3 ADVICE: charging cfg.n_iters
-    # regardless of the while_loop's actual exit overstated compaction
-    # at small B / easy operating points).
+    # fetch is a 2-vector [errs, max-iters] -- packing both into one
+    # float32 scalar lost the iters term to rounding once errors
+    # exceeded ~1.6k bits (round-4 review finding) -- so the baseline's
+    # REAL trip count is recovered exactly (round-3 ADVICE: charging
+    # cfg.n_iters regardless of the while_loop's actual exit overstated
+    # compaction at small B / easy operating points).
     @jax.jit
     def single_one(inp, bits):
         hard, iters, _ = turbo_decode(*inp, cfg)
-        return ((hard != bits).sum().astype(jnp.float32) * 1e4
-                + iters.max().astype(jnp.float32))
+        return jnp.stack([(hard != bits).sum().astype(jnp.float32),
+                          iters.max().astype(jnp.float32)])
 
     max_iters_seen = []
 
     def run_single():
         tot = 0.0
         for inp, bits in zip(inputs_list, bits_list):
-            v = float(single_one(inp, bits))
-            max_iters_seen.append(int(v % 1e4))
-            tot += v
+            v = np.asarray(single_one(inp, bits))   # ONE fetch per batch
+            max_iters_seen.append(int(v[1]))
+            tot += float(v[0])
         return tot
 
     run_single()
