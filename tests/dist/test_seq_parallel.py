@@ -261,3 +261,50 @@ def test_seq_sharded_umts_interleaver():
     spec = NamedSharding(mesh, P(("data",), None))
     hard, iters, _ = dec(*[jax.device_put(x, spec) for x in noisy])
     assert (np.asarray(hard) == bits).all()
+
+
+def test_scan_seq1_soft_outputs_match_monolithic():
+    """Soft-output regression for the scan seq path (round-4 review bug:
+    the raw systematic stream was under-padded -- pad_stream pads a
+    KT-wide stream by KTp-KT, but ls is only K wide -- so the final
+    shard's dynamic_slice clamped and its L used ls[t-3]).  At seq=1 the
+    chunk covers the whole padded trellis: pre-fix this exact program
+    CRASHED at trace time (slice size KTp exceeded the K+KTp-KT-wide
+    operand), and post-fix there are no NII seams, so L must match the
+    monolithic scan decoder to float tolerance on every row."""
+    mesh = make_mesh(data=2, seq=1)
+    K, B = 168, 2
+    bits, noisy = _batch(K, B, seed=23, ebn0_db=1.5)
+    cfg = DecoderConfig(K=K, n_iters=2, siso="scan")
+    dec = decode_seq_sharded(mesh, cfg)
+    spec = NamedSharding(mesh, P(("data",), None))
+    hard_s, _, L_s = dec(*[jax.device_put(x, spec) for x in noisy])
+    hard_m, _, L_m = turbo_decode(*noisy, cfg)
+    np.testing.assert_array_equal(np.asarray(hard_s), np.asarray(hard_m))
+    np.testing.assert_allclose(np.asarray(L_s), np.asarray(L_m),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_scan_seq_last_shard_systematic_alignment():
+    """Multi-shard variant of the same regression: decode a batch whose
+    SYSTEMATIC stream alone determines the sign at huge magnitude (clean
+    +-50 systematic, zeroed parity LLRs give le ~ 0): any row-shift of
+    ls on the last shard flips signs there.  NII seam staleness cannot
+    mask a systematic shift because L's ls term is additive."""
+    mesh = make_mesh(data=1, seq=4)
+    K, B = 168, 2
+    rng = np.random.default_rng(29)
+    bits = np.stack([rng.integers(0, 2, K).astype(np.int8)
+                     for _ in range(B)])
+    ls = jnp.asarray(50.0 * (1 - 2 * bits), jnp.float32)
+    zK = jnp.zeros((B, K), jnp.float32)
+    z6 = jnp.zeros((B, 6), jnp.float32)
+    cfg = DecoderConfig(K=K, n_iters=1, siso="scan")
+    dec = decode_seq_sharded(mesh, cfg)
+    spec = NamedSharding(mesh, P(("data",), None))
+    args = [jax.device_put(x, spec) for x in (ls, zK, zK, z6, z6)]
+    hard_s, _, L_s = dec(*args)
+    # Every row's L must carry the systematic sign -- including the last
+    # shard's rows, which the pre-fix clamped slice shifted by 3.
+    np.testing.assert_array_equal(np.asarray(hard_s), bits)
+    assert (np.sign(np.asarray(L_s)) == (1 - 2 * bits)).all()

@@ -223,8 +223,11 @@ def _decode_seq_sharded_scan(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
     n_seq = mesh.shape["seq"]
     K = cfg.K
     KT = K + 3
-    C = _round_up(KT, n_seq) // n_seq          # trellis chunk per shard
-    KTp = C * n_seq
+    # Same chunk geometry as the cells path (chunk_sizing is the single
+    # source of truth; this path previously had its own derivation --
+    # round-4 review).  The scan SISO has no window constraint, so only
+    # C/KTp are used.
+    C, _, _, KTp = chunk_sizing(KT, n_seq)
     perm = np.asarray(cfg.perm())
     ext = np.arange(K, KTp, dtype=np.int64)
     perm_e = np.concatenate([perm.astype(np.int64), ext])
@@ -281,7 +284,13 @@ def _decode_seq_sharded_scan(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
         ls2 = chunk(pad_stream(jnp.concatenate([ls[:, perm], t2[:, 0::2]], 1),
                                BIG))
         lp2f = chunk(pad_stream(jnp.concatenate([lp2, t2[:, 1::2]], 1)))
-        ls_c = chunk(pad_stream(ls))          # raw systematic for L
+        # Raw systematic for L: ls is K wide (no tail), so it pads by
+        # KTp-K, NOT the KTp-KT that pad_stream applies to KT-wide
+        # streams.  (Round-4 review: the old pad_stream(ls) left the
+        # array 3 rows short, the last shard's dynamic_slice clamped,
+        # and every row of its chunk read ls[t-3] -- wrong soft outputs
+        # for the whole last chunk.)
+        ls_c = chunk(jnp.pad(ls, ((0, 0), (0, KTp - K))))
 
         uni = jnp.zeros((B, N_STATES), ls.dtype)
         # Extrinsics beyond row K are meaningless; the exchange tables'

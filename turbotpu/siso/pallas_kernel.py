@@ -367,19 +367,37 @@ def _make_kernel(n_win: int, W: int, mode: str, K_real: int, scale: float,
                     aout_ref[0, s] = alpha_fin[s]
 
         # ---------------- Phase 2: backward, recompute alpha, emit Le -----
-        start_in((n_win - 1) % 2, n_win - 1)
-        if fold_gather:
-            start_la_window((n_win - 1) % 2, n_win - 1)
+        if nii:
+            # NII skips phase 1, so the first processed window must be
+            # fetched here.
+            start_in((n_win - 1) % 2, n_win - 1)
+            if fold_gather:
+                start_la_window((n_win - 1) % 2, n_win - 1)
 
         def phase2_body(wi, beta):
             w = n_win - 1 - wi
             slot = jax.lax.rem(w, 2)
 
-            @pl.when(w - 1 >= 0)
-            def _():
-                start_in(jax.lax.rem(w + 1, 2), w - 1)
+            if nii:
+                @pl.when(w - 1 >= 0)
+                def _():
+                    start_in(jax.lax.rem(w + 1, 2), w - 1)
 
-            wait_in(slot, w)
+                wait_in(slot, w)
+            else:
+                # Exact mode: windows n_win-1 and n_win-2 are still
+                # RESIDENT in their double-buffer slots from the end of
+                # phase 1 (fetched, waited, never overwritten since) --
+                # refetching them wasted ~2/n_win of the per-call input
+                # stream reads (round-4 review).  Prefetch only windows
+                # <= n_win-3 and wait only for copies actually started.
+                @pl.when((w - 1 >= 0) & (w < n_win - 1))
+                def _():
+                    start_in(jax.lax.rem(w + 1, 2), w - 1)
+
+                @pl.when(w < n_win - 2)
+                def _():
+                    wait_in(slot, w)
             if nii and boundary:
                 # Seq-parallel chunk: window 0 starts from the separate
                 # cross-chunk edge operand; windows w>0 from ain[w],
