@@ -121,5 +121,5 @@ def test_coded_fading_end_to_end(modulation):
                     decoder=DecoderConfig(K=440, n_iters=6, mode="logmap",
                                           early_term="crc"))
     step = make_step(cfg)
-    be, fe, _ = step(jax.random.key(7), jnp.float32(14.0))
+    be, fe, _, _ = step(jax.random.key(7), jnp.float32(14.0))
     assert int(fe) == 0 and int(be) == 0

@@ -45,8 +45,8 @@ def test_harq_rv_sequence_step_runs_and_gains():
                      decoder=DecoderConfig(K=40, n_iters=4))
     import jax.random
     key = jax.random.key(0)
-    be1, fe1, _ = make_step(cfg1)(key, esn0)
-    be4, fe4, _ = make_step(cfg4)(key, esn0)
+    be1, fe1, _, _ = make_step(cfg1)(key, esn0)
+    be4, fe4, _, _ = make_step(cfg4)(key, esn0)
     assert int(fe1) > 0
     assert int(fe4) < int(fe1)
 
@@ -120,7 +120,7 @@ def test_mixed_k_rate_matched_tracks_homogeneous():
     be_m = fe_m = 0
     step = make_step(mixed)
     for s in range(6):
-        b, f, _ = step(jax.random.key(s), esn0)
+        b, f, _, _ = step(jax.random.key(s), esn0)
         be_m, fe_m = be_m + int(b), fe_m + int(f)
     fe_h = 0
     for K_g, E_g in ((64, 192), (104, 312)):
@@ -132,7 +132,7 @@ def test_mixed_k_rate_matched_tracks_homogeneous():
         # group rate by hand so both runs see identical Es/N0.
         esn0_g = jnp.float32(10 * np.log10(K_g / E_g))
         for s in range(6):
-            _, f, _ = hstep(jax.random.key(100 + s), esn0_g)
+            _, f, _, _ = hstep(jax.random.key(100 + s), esn0_g)
             fe_h += int(f)
     assert fe_m > 0 and fe_h > 0          # mid-waterfall, both see errors
     assert 0.4 < fe_m / fe_h < 2.5        # same operating point

@@ -119,7 +119,7 @@ def test_harness_mixed_k_end_to_end(interleaver, k_mix, bucket):
     step = make_step(cfg)
     from turbotpu.harness.ber import _ebn0_to_esn0_db
     esn0 = jnp.float32(_ebn0_to_esn0_db(cfg, 6.0))
-    be, fe, it = step(jax.random.key(3), esn0)
+    be, fe, it, _ = step(jax.random.key(3), esn0)
     assert int(be) == 0 and int(fe) == 0
     # CRC early termination engaged well before the cap.
     assert int(it) < 6 * cfg.B

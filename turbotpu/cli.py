@@ -73,6 +73,12 @@ def main(argv=None):
     ber.add_argument("--seed", type=int, default=0)
     ber.add_argument("--results", default="results/ber.jsonl")
     ber.add_argument("--no-resume", action="store_true")
+    ber.add_argument("--compact", type=int, default=0, metavar="S1_ITERS",
+                     help="sweep-level convergence compaction: stage-1 "
+                          "decode each super-batch at this iteration cap, "
+                          "re-batch CRC failures host-side, finish at the "
+                          "full cap (bit-identical counts; needs "
+                          "--early-term crc, homogeneous K)")
 
     bench = sub.add_parser("bench", help="decode throughput benchmark")
     _add_common(bench)
@@ -164,7 +170,10 @@ def main(argv=None):
     c5.add_argument("--groups", type=int, default=1,
                     help="split-batch pipelining groups (seq_groups): "
                          "overlap exchange with kernel via async "
-                         "collectives; needs local batch >= groups*1024")
+                         "collectives; needs local batch >= groups*1024 "
+                         "whole cells AND --xch ppermute (silently runs "
+                         "unsplit with --xch dma -- the result record's "
+                         "seq_groups_effective field shows what ran)")
     c5.add_argument("--xch", default="ppermute",
                     choices=["ppermute", "dma"],
                     help="boundary-metric exchange backend")
@@ -246,7 +255,8 @@ def main(argv=None):
                               max_frames=args.max_frames, seed=args.seed),)
         for cfg in cfgs:
             simulate_ber(cfg, results_path=args.results,
-                         resume=not args.no_resume)
+                         resume=not args.no_resume,
+                         compact_stage1=args.compact)
         return 0
 
     if args.cmd == "bench":

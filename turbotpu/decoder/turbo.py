@@ -71,6 +71,13 @@ class DecoderConfig:
                                     # overlap group g's extrinsic
                                     # all_to_all with group g+1's chunk
                                     # kernel (round-3 VERDICT item 2b).
+                                    # Coerced to 1 unless the local batch
+                                    # is a whole number of 1024-row cells
+                                    # per group AND boundary_xch is
+                                    # ppermute (the dma barrier protocol
+                                    # assumes one boundary round per half
+                                    # -iteration); see
+                                    # dist.seq_parallel.effective_seq_groups.
                                     # Needs local batch >= groups*1024;
                                     # silently 1 otherwise
     nii: bool = False               # Pallas path: skip the exact phase-1

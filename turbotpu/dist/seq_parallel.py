@@ -58,6 +58,21 @@ def chunk_sizing(KT: int, n_seq: int, window: int = 0
     return C, W, C // W, C * n_seq
 
 
+def effective_seq_groups(cfg: DecoderConfig, B_shard: int) -> int:
+    """The seq_groups the cells seq path will ACTUALLY run for a
+    per-data-shard batch of B_shard: pipelining needs >1 whole 1024-row
+    cells per group and is incompatible with the dma boundary exchange
+    (the barrier-semaphore protocol assumes one boundary round per half
+    -iteration).  Mirrors the guard in _decode_seq_sharded_cells; callers
+    (harness/c5, CLI) surface it so a silently-coerced nG=1 is visible
+    (round-4 ADVICE 3)."""
+    n_cells = -(-B_shard // 1024)
+    if (cfg.seq_groups > 1 and n_cells % cfg.seq_groups == 0
+            and cfg.boundary_xch != "dma"):
+        return cfg.seq_groups
+    return 1
+
+
 # ---------------------------------------------------------------------------
 # Partitioned extrinsic exchange
 # ---------------------------------------------------------------------------
@@ -225,9 +240,11 @@ def _decode_seq_sharded_scan(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
     KT = K + 3
     # Same chunk geometry as the cells path (chunk_sizing is the single
     # source of truth; this path previously had its own derivation --
-    # round-4 review).  The scan SISO has no window constraint, so only
-    # C/KTp are used.
-    C, _, _, KTp = chunk_sizing(KT, n_seq)
+    # round-4 review).  The scan SISO has no window constraint, so pass
+    # an explicit window=8: C rounds only to the 8-row layout quantum,
+    # not to the cells path's default 128-step window (which would add
+    # up to ~8% pure pad steps here -- round-4 ADVICE 1).
+    C, _, _, KTp = chunk_sizing(KT, n_seq, window=8)
     perm = np.asarray(cfg.perm())
     ext = np.arange(K, KTp, dtype=np.int64)
     perm_e = np.concatenate([perm.astype(np.int64), ext])
@@ -462,9 +479,7 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
         # experiments/comm_model.py overlap mode).  Every shard iterates
         # groups in the same order, so the collective sequence stays
         # identical across the mesh (no deadlock risk).
-        nG = cfg.seq_groups if (cfg.seq_groups > 1
-                                and n_cells % cfg.seq_groups == 0
-                                and cfg.boundary_xch != "dma") else 1
+        nG = effective_seq_groups(cfg, n_cells * 1024)
         n_g = n_cells // nG
 
         def split(x):

@@ -172,15 +172,15 @@ def make_step(cfg: SimConfig):
         one = _one_batch_mixed if cfg.K_mix else _one_batch
 
         def body(i, carry):
-            key, be, fe, it = carry
+            key, be, fe, it, mx = carry
             key, sub = jax.random.split(key)
-            b, f, t = one(sub, esn0_db)
-            return key, be + b, fe + f, it + t
+            b, f, t, m = one(sub, esn0_db)
+            return key, be + b, fe + f, it + t, mx + m
 
         z = jnp.int32(0)
-        _, be, fe, it = jax.lax.fori_loop(
-            0, cfg.steps_per_check, body, (key, z, z, z))
-        return be, fe, it
+        _, be, fe, it, mx = jax.lax.fori_loop(
+            0, cfg.steps_per_check, body, (key, z, z, z, z))
+        return be, fe, it, mx
 
     fading = cfg.channel == "rayleigh"
     if cfg.channel not in ("awgn", "rayleigh"):
@@ -228,7 +228,12 @@ def make_step(cfg: SimConfig):
         y = chain.awgn(kn, x, esn0_db)
         return chain.demap_bpsk(y, esn0_db)
 
-    def _one_batch(key: jax.Array, esn0_db: jax.Array):
+    def _gen_batch(key: jax.Array, esn0_db: jax.Array):
+        """Generation half of the fused step: payload -> ... -> demuxed
+        decoder LLR streams.  Split out so the compaction sweep mode can
+        re-batch CRC failures host-side between super-batches while
+        seeing EXACTLY the frames the fused step would see (SURVEY
+        section 8 hard part 6; round-4 VERDICT missing 3)."""
         kp, kn = jax.random.split(key)
         payload = chain.gen_payload(kp, cfg.B, n_payload)
         bits = (chain.crc_attach_batch(payload, cfg.decoder.crc_poly)
@@ -246,12 +251,17 @@ def make_step(cfg: SimConfig):
                 llr_d = llr_d + de_rate_match_jax(llr, cfg.K, v)
         else:
             llr_d = _channel(kn, d_flat, esn0_db)
-        hard, iters, _ = turbo_decode(*demux(llr_d), cfg.decoder)
+        return demux(llr_d), bits
+
+    def _one_batch(key: jax.Array, esn0_db: jax.Array):
+        streams, bits = _gen_batch(key, esn0_db)
+        hard, iters, _ = turbo_decode(*streams, cfg.decoder)
         err = hard != bits
         bit_errs = jnp.sum(err, dtype=jnp.int32)
         frame_err_mask = jnp.any(err, axis=1)
         frame_errs = jnp.sum(frame_err_mask, dtype=jnp.int32)
-        return bit_errs, frame_errs, jnp.sum(iters, dtype=jnp.int32)
+        return (bit_errs, frame_errs, jnp.sum(iters, dtype=jnp.int32),
+                jnp.max(iters).astype(jnp.int32))
 
     def _one_batch_mixed(key: jax.Array, esn0_db: jax.Array):
         """TRUE mixed-K batch: each group is encoded with its own
@@ -306,27 +316,24 @@ def make_step(cfg: SimConfig):
             jnp.arange(cfg.K) >= jnp.asarray(F_arr)[:, None])
         bit_errs = jnp.sum(err, dtype=jnp.int32)
         frame_errs = jnp.sum(jnp.any(err, axis=1), dtype=jnp.int32)
-        return bit_errs, frame_errs, jnp.sum(iters, dtype=jnp.int32)
+        return (bit_errs, frame_errs, jnp.sum(iters, dtype=jnp.int32),
+                jnp.max(iters).astype(jnp.int32))
 
+    if not cfg.K_mix:
+        # The compaction sweep mode decodes host-gathered re-batches, so
+        # it needs the raw streams; mixed-K batches ride per-codeword
+        # embedded tables that decode_compacted's plain turbo_decode call
+        # does not thread, so compaction stays homogeneous-only.
+        step.gen = jax.jit(_gen_batch)
     return step
 
 
-def simulate_point(cfg: SimConfig, ebn0_db: float, step=None) -> dict:
-    """Run one Eb/N0 grid point to the stopping rule; returns a record."""
-    if step is None:
-        step = make_step(cfg)
-    esn0 = jnp.float32(_ebn0_to_esn0_db(cfg, ebn0_db))
-    key = jax.random.key(cfg.seed ^ int(round(ebn0_db * 1000)) & 0x7FFFFFFF)
-    bit_errs = frame_errs = frames = iters_sum = 0
-    t0 = time.perf_counter()
-    while frame_errs < cfg.min_frame_errors and frames < cfg.max_frames:
-        key, sub = jax.random.split(key)
-        be, fe, it = step(sub, esn0)
-        bit_errs += int(be)
-        frame_errs += int(fe)
-        iters_sum += int(it)
-        frames += cfg.B * cfg.steps_per_check
-    wall = time.perf_counter() - t0
+def _point_key(cfg: SimConfig, ebn0_db: float) -> jax.Array:
+    return jax.random.key(cfg.seed ^ int(round(ebn0_db * 1000)) & 0x7FFFFFFF)
+
+
+def _point_record(cfg: SimConfig, ebn0_db: float, frames: int, bit_errs: int,
+                  frame_errs: int, iters_sum: int, wall: float) -> dict:
     # Fillers of a mixed-K batch are known bits, not information.
     info_bits = int(round(frames * cfg.mean_true_k))
     return {
@@ -343,8 +350,103 @@ def simulate_point(cfg: SimConfig, ebn0_db: float, step=None) -> dict:
     }
 
 
+def simulate_point(cfg: SimConfig, ebn0_db: float, step=None,
+                   compact_stage1: int = 0) -> dict:
+    """Run one Eb/N0 grid point to the stopping rule; returns a record.
+
+    compact_stage1 > 0 switches to two-stage convergence compaction
+    (host-side re-batching of CRC failures between super-batches) with
+    the given stage-1 iteration cap -- same frames, same counts (the
+    compaction contract is bit-identical hard decisions), plus device
+    -work fields."""
+    if compact_stage1:
+        return _simulate_point_compacted(cfg, ebn0_db, step, compact_stage1)
+    if step is None:
+        step = make_step(cfg)
+    esn0 = jnp.float32(_ebn0_to_esn0_db(cfg, ebn0_db))
+    key = _point_key(cfg, ebn0_db)
+    bit_errs = frame_errs = frames = iters_sum = iter_batches = 0
+    t0 = time.perf_counter()
+    while frame_errs < cfg.min_frame_errors and frames < cfg.max_frames:
+        key, sub = jax.random.split(key)
+        be, fe, it, mx = step(sub, esn0)
+        bit_errs += int(be)
+        frame_errs += int(fe)
+        iters_sum += int(it)
+        iter_batches += int(mx)
+        frames += cfg.B * cfg.steps_per_check
+    wall = time.perf_counter() - t0
+    rec = _point_record(cfg, ebn0_db, frames, bit_errs, frame_errs,
+                        iters_sum, wall)
+    # Realized device work: the batched while_loop runs until its SLOWEST
+    # frame converges, so each batch costs max(iters) batch-iterations.
+    # This is the number compaction's iter_batches field compares against.
+    rec["iter_batches"] = iter_batches
+    return rec
+
+
+def _simulate_point_compacted(cfg: SimConfig, ebn0_db: float, step,
+                              stage1_iters: int) -> dict:
+    """Compaction sweep mode (SURVEY section 8 hard part 6's named
+    integration point): generate the SAME super-batches as the fused
+    step (identical key-split tree), stage-1 decode them at a small cap,
+    re-batch the CRC failures across the whole check-group into dense
+    batches host-side, and finish those at the full cap.  Counts are
+    bit-identical to the non-compact sweep on the same seeds (the
+    decode_compacted equivalence contract, tests/unit/test_compaction.py
+    + test_ber_compact_sweep.py)."""
+    from .compact import decode_compacted
+    if cfg.K_mix:
+        raise ValueError("compaction re-batches through plain turbo_decode; "
+                         "mixed-K batches (per-codeword embedded tables) are "
+                         "not supported -- run without --compact")
+    if cfg.decoder.early_term != "crc":
+        raise ValueError("convergence compaction needs early_term='crc'")
+    if step is None:
+        step = make_step(cfg)
+    esn0 = jnp.float32(_ebn0_to_esn0_db(cfg, ebn0_db))
+    key = _point_key(cfg, ebn0_db)
+    bit_errs = frame_errs = frames = iters_sum = 0
+    units = n2_total = deferred_total = 0
+    t0 = time.perf_counter()
+    while frame_errs < cfg.min_frame_errors and frames < cfg.max_frames:
+        key, sub = jax.random.split(key)
+        # Replicate the fused step's fori_loop key chain exactly:
+        # carry = sub; each sub-step splits (carry, batch_key) off it.
+        inputs_list, bits_list = [], []
+        carry = sub
+        for _ in range(cfg.steps_per_check):
+            carry, bk = jax.random.split(carry)
+            streams, bits = step.gen(bk, esn0)
+            inputs_list.append(streams)
+            bits_list.append(bits)
+        be, fe, it, n2, _, ndef = decode_compacted(
+            inputs_list, bits_list, cfg.decoder, stage1_iters)
+        bit_errs += be
+        frame_errs += fe
+        iters_sum += it
+        n2_total += n2
+        deferred_total += ndef
+        units += cfg.steps_per_check * stage1_iters + n2 * cfg.decoder.n_iters
+        frames += cfg.B * cfg.steps_per_check
+    wall = time.perf_counter() - t0
+    rec = _point_record(cfg, ebn0_db, frames, bit_errs, frame_errs,
+                        iters_sum, wall)
+    rec.update({
+        "compact_stage1": stage1_iters,
+        "iter_batches": units,
+        "n_stage2_batches": n2_total,
+        "deferred_frac": round(deferred_total / frames, 4) if frames else 0.0,
+        # avg_iters here sums stage-1 converged iters + stage-2 realized
+        # iters -- per-frame device iterations, not the single-stage
+        # while_loop's (which the non-compact record reports).
+    })
+    return rec
+
+
 def simulate_ber(cfg: SimConfig, results_path: str | pathlib.Path | None = None,
-                 resume: bool = True, verbose: bool = True) -> list[dict]:
+                 resume: bool = True, verbose: bool = True,
+                 compact_stage1: int = 0) -> list[dict]:
     """Sweep the Eb/N0 grid; resumable via the JSONL results file."""
     done: dict[float, dict] = {}
     path = pathlib.Path(results_path) if results_path else None
@@ -360,7 +462,10 @@ def simulate_ber(cfg: SimConfig, results_path: str | pathlib.Path | None = None,
                 rec = json.loads(line)
             except json.JSONDecodeError:
                 continue  # torn trailing line from a killed writer
-            if rec.get("config") == cfg.name:
+            # A compacted point only resumes a compacted record (and vice
+            # versa): the counts match, but the device-work fields do not.
+            if (rec.get("config") == cfg.name
+                    and rec.get("compact_stage1", 0) == compact_stage1):
                 done[rec["ebn0_db"]] = rec
     step = make_step(cfg)
     out = []
@@ -370,7 +475,8 @@ def simulate_ber(cfg: SimConfig, results_path: str | pathlib.Path | None = None,
             if verbose:
                 print(f"[{cfg.name}] Eb/N0={ebn0:5.2f} dB  (resumed)")
             continue
-        rec = simulate_point(cfg, float(ebn0), step)
+        rec = simulate_point(cfg, float(ebn0), step,
+                             compact_stage1=compact_stage1)
         out.append(rec)
         if path:
             with path.open("a") as f:

@@ -6,8 +6,6 @@ or the 8-fake-device CPU test mesh.
 
 from __future__ import annotations
 
-import functools
-import time
 
 import jax
 import jax.numpy as jnp
@@ -18,10 +16,10 @@ from ..decoder.turbo import DecoderConfig
 from ..dist.data_parallel import count_errors_sharded
 from ..dist.mesh import make_mesh
 from ..dist.multihost import host_local_batch, init_distributed, make_global_array
-from ..dist.seq_parallel import decode_seq_sharded
+from ..dist.seq_parallel import decode_seq_sharded, effective_seq_groups
 from ..golden import numpy_ref as npr
 from ..spec.crc import CRC24A_POLY, crc_attach
-from .bench import measure_roundtrip, _timed
+from .bench import measure_chained, measure_roundtrip
 
 
 def make_batch(K: int, B: int, ebn0_db: float, seed: int, interleaver="lte",
@@ -93,8 +91,12 @@ def run_c5(K: int = 6144, B: int = 4096, ebn0_db: float = 0.8,
     # Chain the timed decodes on device into ONE scalar fetch (the axon
     # tunnel costs ~38 ms per individual fetch -- see bench.bench_decode);
     # each decode's output feeds the next input so no rep can be elided.
-    @functools.partial(jax.jit, static_argnames=("reps",))
-    def run(noisy, ref, reps: int):
+    # The rep count is a DYNAMIC fori_loop bound so measure_chained can
+    # scale it until compute >= 5x the floor without recompiling (round-4
+    # VERDICT missing 1: n_timed=4 was ~9 ms of compute under a 25-70 ms
+    # floor -- the old C5 walls were mostly subtracted-floor jitter).
+    @jax.jit
+    def run(noisy, ref, reps):
         def body(i, carry):
             a, acc = carry
             hard, _, L = decode(*a)
@@ -105,20 +107,21 @@ def run_c5(K: int = 6144, B: int = 4096, ebn0_db: float = 0.8,
                                    (tuple(noisy), jnp.float32(0)))
         return acc
 
-    reps = max(n_timed, 1)
-    float(run(tuple(args), ref, reps))  # warm with the same static rep count
-    wall = min(_timed(lambda: float(run(tuple(args), ref, reps)))
-               for _ in range(3))
-    wall = max(wall - floor, 1e-9) / reps
+    float(run(tuple(args), ref, jnp.int32(max(n_timed, 1))))  # warm
+    wall, reps_used = measure_chained(
+        lambda r: float(run(tuple(args), ref, jnp.int32(r))),
+        max(n_timed, 1), floor)
     rec = {
         "K": K, "B": B, "mesh": {"data": data, "seq": seq},
         "siso": siso, "nii": nii, "window": window, "io_dtype": io_dtype,
         "ext_dtype": ext_dtype, "seq_groups": seq_groups,
+        "seq_groups_effective": effective_seq_groups(cfg, B // data),
         "boundary_xch": boundary_xch, "early_term": early_term,
         "processes": jax.process_count(), "devices": n_dev,
         "ebn0_db": ebn0_db, "bit_errs": bit, "frame_errs": frame,
         "ber": bit / (B * K), "fer": frame / B,
-        "wall_s": wall, "mbit_per_s": B * K / wall / 1e6,
+        "wall_s": wall, "timed_reps": reps_used,
+        "mbit_per_s": B * K / wall / 1e6,
     }
     if verbose and jax.process_index() == 0:
         print(rec)

@@ -67,9 +67,14 @@ def _stage_fns(cfg1: DecoderConfig, cfg2: DecoderConfig):
         conv = ~undone
         bitc = (errs * conv[:, None].astype(jnp.int32)).sum()
         framec = ((errs.sum(axis=1) > 0) & conv).sum()
+        # Counters ride the float32 vector BIT-CAST, not value-cast: a
+        # stage batch's bit-error count is bounded by B*K (up to ~25M),
+        # past float32's 2^24 exact-integer range (round-4 ADVICE 2).
+        # The host views p[:3] back as int32 -- exact at any count.
         packed = jnp.concatenate([
-            jnp.stack([bitc, framec, (iters * conv).sum()]
-                      ).astype(jnp.float32),
+            jax.lax.bitcast_convert_type(
+                jnp.stack([bitc, framec, (iters * conv).sum()]),
+                jnp.float32),
             undone.astype(jnp.float32)])
         return packed, hard
 
@@ -82,8 +87,8 @@ def _stage_fns(cfg1: DecoderConfig, cfg2: DecoderConfig):
         v = valid.astype(jnp.int32)
         bitc = (errs * v[:, None]).sum()
         framec = ((errs.sum(axis=1) > 0) & valid).sum()
-        packed = jnp.stack([bitc, framec, (iters * v).sum()]
-                           ).astype(jnp.float32)
+        packed = jax.lax.bitcast_convert_type(
+            jnp.stack([bitc, framec, (iters * v).sum()]), jnp.float32)
         return packed, hard
 
     return stage1, stage2
@@ -114,9 +119,10 @@ def decode_compacted(inputs_list, bits_list, cfg: DecoderConfig,
         packed, hard = stage1(inp, bits)
         p = np.asarray(packed)                  # ONE fetch per super-batch
         mask = p[3:] > 0.5
-        bit_t += int(p[0])
-        frame_t += int(p[1])
-        iters_t += int(p[2])
+        cnt = p[:3].view(np.int32)              # exact: bit-cast, not cast
+        bit_t += int(cnt[0])
+        frame_t += int(cnt[1])
+        iters_t += int(cnt[2])
         deferred.extend(i * B + j for j in np.nonzero(mask)[0])
         if keep_hard:
             hards.append(np.array(hard))      # writable copy: stage2 merges
@@ -139,9 +145,10 @@ def decode_compacted(inputs_list, bits_list, cfg: DecoderConfig,
             valid = jnp.asarray(valid_all[b * B:(b + 1) * B])
             packed2, hard2 = stage2(flat_inputs, idx, valid, flat_bits)
             p2 = np.asarray(packed2)            # ONE fetch per stage-2 batch
-            bit_t += int(p2[0])
-            frame_t += int(p2[1])
-            iters_t += int(p2[2])
+            cnt2 = p2.view(np.int32)
+            bit_t += int(cnt2[0])
+            frame_t += int(cnt2[1])
+            iters_t += int(cnt2[2])
             if keep_hard:
                 h2 = np.asarray(hard2)
                 for r in range(B):

@@ -11,8 +11,6 @@ runs unchanged on a real multi-chip slice.
 
 from __future__ import annotations
 
-import functools
-import time
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +18,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..decoder.turbo import DecoderConfig, turbo_decode
 from ..dist.mesh import make_mesh
-from .bench import make_decode_inputs, measure_roundtrip, _timed
+from .bench import make_decode_inputs, measure_chained, measure_roundtrip
 
 
 def bench_scaling(cfg: DecoderConfig, per_device_batch: int,
@@ -39,8 +37,8 @@ def bench_scaling(cfg: DecoderConfig, per_device_batch: int,
         inputs = [jax.device_put(x, spec)
                   for x in make_decode_inputs(cfg.K, B, seed)]
 
-        @functools.partial(jax.jit, static_argnames=("reps",))
-        def run(ls, lp1, lp2, t1, t2, reps: int):
+        @jax.jit
+        def run(ls, lp1, lp2, t1, t2, reps):
             def body(i, carry):
                 (ls, lp1, lp2, t1, t2), acc = carry
                 hard, iters, L = turbo_decode(ls, lp1, lp2, t1, t2, cfg)
@@ -50,10 +48,11 @@ def bench_scaling(cfg: DecoderConfig, per_device_batch: int,
                 0, reps, body, (tuple([ls, lp1, lp2, t1, t2]), jnp.float32(0)))
             return acc
 
-        float(run(*inputs, 1))
-        wall = min(_timed(lambda: float(run(*inputs, n_timed)))
-                   for _ in range(3))
-        wall = max(wall - floor, 1e-9) / n_timed
+        float(run(*inputs, jnp.int32(1)))
+        # Rep-scaled timing (compute >= 5x the tunnel floor before the
+        # floor is subtracted) -- same discipline as bench_decode.
+        wall, _ = measure_chained(
+            lambda r: float(run(*inputs, jnp.int32(r))), n_timed, floor)
         mbps = B * cfg.K / wall / 1e6
         if base is None:
             base = mbps
