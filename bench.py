@@ -26,12 +26,18 @@ def main():
 
     K, B, iters = 6144, 1024, 6
     last_err = None
-    # Flagship first: NII windowed kernel (W=256), bfloat16 LLR I/O --
-    # both BER-validated on-chip at the K=6144 waterfall (RESULTS.md:
-    # NII/W=256 costs ~0.03 dB, inside the 0.05 dB conformance bar; bf16
-    # I/O is indistinguishable from fp32).  Fall back to the exact
-    # two-phase kernel, then to the lax.scan path, if a variant regresses.
+    # Flagship first: NII windowed kernel (W=256), bfloat16 LLR I/O, int8
+    # extrinsic streams -- all BER-validated on-chip at the K=6144
+    # waterfall (RESULTS.md: NII/W=256 costs ~0.03 dB inside the 0.05 dB
+    # conformance bar; bf16 I/O indistinguishable from fp32; int8
+    # extrinsics 0.00 dB, experiments/ext_dtype_ber.json).  This is the
+    # exact configuration of the committed round-5 variance band
+    # (experiments/flagship_tuning.json), so driver captures are
+    # comparable to it.  Fall back to bf16 extrinsics, the exact
+    # two-phase kernel, then the lax.scan path, if a variant regresses.
     variants = (
+        dict(siso="pallas", io_dtype="bfloat16", nii=True, window=256,
+             ext_dtype="int8"),
         dict(siso="pallas", io_dtype="bfloat16", nii=True, window=256),
         dict(siso="pallas", io_dtype="bfloat16"),
         dict(siso="scan"),
@@ -52,7 +58,8 @@ def main():
         raise last_err
 
     per_chip_target = 125.0  # Mbit/s/chip (1 Gbit/s / 8 chips)
-    kern = rec["siso"] + (",nii" if cfg.nii else "")
+    kern = rec["siso"] + (",nii" if cfg.nii else "") + (
+        f",ext={cfg.ext_dtype}" if cfg.ext_dtype else "")
     print(json.dumps({
         "metric": f"decoded Mbit/s/chip (K={K}, {iters} iters, max-log-MAP, "
                   f"batch={B}, siso={kern}, io={cfg.io_dtype})",

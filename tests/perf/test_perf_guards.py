@@ -60,17 +60,19 @@ def test_ir_dump_works():
 
 @pytest.mark.tpu
 def test_throughput_floor_tpu():
-    """Real-hardware regression floor, pinned near the committed flagship
-    (BENCH_r03: 3051 Mbit/s/chip; round-3 VERDICT weak 6: a 500 floor
-    would let a 6x regression pass silently).  2500 leaves ~18% headroom
-    for axon-tunnel run-to-run variance while still catching any real
-    schedule or kernel regression."""
+    """Real-hardware regression floor, pinned against the round-5
+    rep-scaled variance band (experiments/flagship_tuning.json: 5 runs
+    3080-3112 Mbit/s, spread 1.03%; driver-style fresh-process captures
+    3095.6/3100.6 also in-band).  band-min - ~6% = 2900 catches any real
+    schedule or kernel regression while riding out tunnel noise.
+    (History: 2500 vs the pre-rep-scaling harness whose cross-session
+    wobble was ~+-10% -- round-4 VERDICT weak 6.)"""
     from turbotpu.harness.bench import bench_decode
     cfg = DecoderConfig(K=6144, n_iters=6, mode="maxlog", ext_scale=0.75,
                         siso="pallas", io_dtype="bfloat16", nii=True,
-                        window=256)
+                        window=256, ext_dtype="int8")
     rec = bench_decode(cfg, 1024, n_timed=8)
-    assert rec["mbit_per_s"] > 2500, rec
+    assert rec["mbit_per_s"] > 2900, rec
 
 
 def test_bench_inputs_are_iid_noise_after_tiling():
