@@ -39,7 +39,10 @@ C3 = SimConfig(
     name="c3_umts_mixed",
     K=5114, K_mix=C3_SIZES, B=128,
     ebn0_db_grid=(0.5, 1.0, 1.5),
-    decoder=DecoderConfig(K=5114, n_iters=8, mode="logmap",
+    # linlog (round 5): measured log-MAP-equal on this exact config
+    # (+0.017/-0.029 dB, experiments/map_variant_umts.json) at ~1.9x the
+    # kernel speed (flagship_tuning.json map_variants).
+    decoder=DecoderConfig(K=5114, n_iters=8, mode="linlog",
                           interleaver="umts", early_term="crc",
                           siso="pallas"),
     use_crc=True,
@@ -56,7 +59,7 @@ C3_RM = SimConfig(
     K=5056, K_mix=(320, 1280, 5056), B=96,
     E=10112,                      # rate 1/2; per-group E_g = E*K_g/K
     ebn0_db_grid=(1.2, 1.6, 2.0),
-    decoder=DecoderConfig(K=5056, n_iters=8, mode="logmap",
+    decoder=DecoderConfig(K=5056, n_iters=8, mode="linlog",
                           early_term="crc", siso="pallas"),
     use_crc=True,
     min_frame_errors=30,
@@ -71,7 +74,7 @@ C4_PUNCTURED = SimConfig(
     # rate 1/2 via puncturing: E = 2*K
     E=2048, rv=0,
     ebn0_db_grid=(1.0, 1.4, 1.8, 2.2),
-    decoder=DecoderConfig(K=1024, n_iters=8, mode="logmap", early_term="crc",
+    decoder=DecoderConfig(K=1024, n_iters=8, mode="linlog", early_term="crc",
                           siso="pallas"),
     use_crc=True,
     min_frame_errors=30,
@@ -84,7 +87,7 @@ C4_REPEATED = SimConfig(
     # rate 1/4 via repetition: E = 4*K > 3K+12
     E=4096, rv=0,
     ebn0_db_grid=(-0.6, -0.2, 0.2, 0.6),
-    decoder=DecoderConfig(K=1024, n_iters=8, mode="logmap", early_term="crc",
+    decoder=DecoderConfig(K=1024, n_iters=8, mode="linlog", early_term="crc",
                           siso="pallas"),
     use_crc=True,
     min_frame_errors=30,

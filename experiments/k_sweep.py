@@ -41,10 +41,16 @@ import numpy as np
 
 
 def bench_embedded(K: int, B: int, k_mix, n_iters: int = 6,
-                   interleaver: str = "umts") -> dict:
+                   interleaver: str = "umts", grouped: bool = False) -> dict:
     """Rep-scaled chained timing of turbo_decode with (or without)
-    per-codeword embedded tables on synthetic LLRs."""
-    from turbotpu.decoder.bucketing import embedded_perm_tables
+    mixed-K embedded tables on synthetic LLRs.
+
+    grouped=False uses the GENERAL per-codeword take_along_axis tables
+    (kept as evidence: measured ~345x slower); grouped=True uses the
+    round-5 grouped form (G shared row gathers + select,
+    bucketing.grouped_perm_tables) that production harnesses run."""
+    from turbotpu.decoder.bucketing import (embedded_perm_tables,
+                                            grouped_perm_tables)
     from turbotpu.decoder.turbo import DecoderConfig, turbo_decode
     from turbotpu.harness.bench import measure_chained, measure_roundtrip
 
@@ -54,13 +60,19 @@ def bench_embedded(K: int, B: int, k_mix, n_iters: int = 6,
     rng = np.random.default_rng(0)
     mk = lambda n: jnp.asarray(rng.normal(size=(B, n)) * 4, jnp.float32)
     inputs = jax.device_put((mk(K), mk(K), mk(K), mk(6), mk(6)))
+    perm_b = inv_b = group_tables = None
     if k_mix:
         Ks = [k_mix[i % len(k_mix)] for i in range(B)]
-        pb, ib = embedded_perm_tables(Ks, K, interleaver)
-        perm_b, inv_b = jax.device_put((jnp.asarray(pb), jnp.asarray(ib)))
         true_bits = int(np.sum(Ks))
+        if grouped:
+            pg, ig, gid = grouped_perm_tables(Ks, K, interleaver)
+            group_tables = jax.device_put(
+                (jnp.asarray(pg), jnp.asarray(ig), jnp.asarray(gid)))
+        else:
+            pb, ib = embedded_perm_tables(Ks, K, interleaver)
+            perm_b, inv_b = jax.device_put(
+                (jnp.asarray(pb), jnp.asarray(ib)))
     else:
-        perm_b = inv_b = None
         true_bits = B * K
 
     @jax.jit
@@ -68,7 +80,8 @@ def bench_embedded(K: int, B: int, k_mix, n_iters: int = 6,
         def body(i, carry):
             (ls, lp1, lp2, t1, t2), acc = carry
             hard, iters, L = turbo_decode(ls, lp1, lp2, t1, t2, cfg,
-                                          perm_b=perm_b, inv_b=inv_b)
+                                          perm_b=perm_b, inv_b=inv_b,
+                                          group_tables=group_tables)
             s = L[0, 0] + iters[0].astype(L.dtype)
             return (ls + s * 0.0, lp1, lp2, t1, t2), acc + s
         _, acc = jax.lax.fori_loop(0, reps, body, (inputs, jnp.float32(0)))
@@ -79,6 +92,7 @@ def bench_embedded(K: int, B: int, k_mix, n_iters: int = 6,
     wall, reps = measure_chained(lambda r: float(run(inputs, jnp.int32(r))),
                                  4, floor)
     return {"K": K, "B": B, "k_mix": list(k_mix) if k_mix else None,
+            "grouped": grouped if k_mix else None,
             "wall_s": wall, "timed_reps": reps,
             "bucket_mbit_per_s": B * K / wall / 1e6,
             "true_mbit_per_s": true_bits / wall / 1e6}
@@ -110,14 +124,24 @@ def main():
     mixed = {}
     mixed["homogeneous_5114"] = bench_embedded(5114, 1024, None)
     print("homog", mixed["homogeneous_5114"], flush=True)
-    mixed["mixed_c3_sizes"] = bench_embedded(5114, 1024, (320, 1280, 5114))
-    print("mixed", mixed["mixed_c3_sizes"], flush=True)
-    mixed["embedded_overhead_pct"] = round(
-        100 * (mixed["mixed_c3_sizes"]["wall_s"]
+    mixed["mixed_grouped"] = bench_embedded(5114, 1024, (320, 1280, 5114),
+                                            grouped=True)
+    print("grouped", mixed["mixed_grouped"], flush=True)
+    mixed["grouped_overhead_pct"] = round(
+        100 * (mixed["mixed_grouped"]["wall_s"]
                / mixed["homogeneous_5114"]["wall_s"] - 1), 1)
+    # The general per-codeword path, kept as the WHY-grouped-exists row.
+    mixed["mixed_per_codeword"] = bench_embedded(5114, 1024,
+                                                 (320, 1280, 5114))
+    print("per-cw", mixed["mixed_per_codeword"], flush=True)
+    mixed["per_codeword_vs_grouped_x"] = round(
+        mixed["mixed_per_codeword"]["wall_s"]
+        / mixed["mixed_grouped"]["wall_s"], 1)
     # C3's own acceptance shape: B=128 pads to one whole 1024-row cell.
-    mixed["mixed_c3_b128"] = bench_embedded(5114, 128, (320, 1280, 5114))
-    print("mixed b128", mixed["mixed_c3_b128"], flush=True)
+    mixed["mixed_grouped_b128"] = bench_embedded(5114, 128,
+                                                 (320, 1280, 5114),
+                                                 grouped=True)
+    print("grouped b128", mixed["mixed_grouped_b128"], flush=True)
     out["mixed_k"] = mixed
 
     with open("experiments/k_sweep.json", "w") as f:

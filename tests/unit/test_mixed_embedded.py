@@ -137,3 +137,33 @@ def test_harness_mixed_k_pallas_matches_scan():
         step = make_step(cfg)
         outs.append(tuple(int(x) for x in step(jax.random.key(5), esn0)))
     assert outs[0] == outs[1]
+
+
+@pytest.mark.parametrize("siso", ["scan", "pallas"])
+def test_grouped_tables_match_per_codeword(siso):
+    """The grouped mixed-K path (G shared row gathers + select -- the
+    fast TPU form, round-5) must be BIT-IDENTICAL to the general
+    per-codeword take_along_axis path on the same batch."""
+    from turbotpu.decoder.bucketing import grouped_perm_tables
+    K_bucket, B = 104, 4
+    sizes = [40, 64, 104]
+    emb = []
+    for i, K in enumerate(sizes):
+        _, parts = _tx_rx(K, B, esn0_db=1.5, seed=20 + i)
+        emb.append(_embed(parts, K, K_bucket))
+    cat = lambda j: jnp.concatenate([e[j] for e in emb], axis=0)
+    args = (cat(0), cat(1), cat(2), cat(3), cat(4))
+
+    Ks = sum(([K] * B for K in sizes), [])
+    cfg = DecoderConfig(K=K_bucket, n_iters=4, siso=siso,
+                        early_term="crc" if siso == "pallas" else "none")
+    phi, inv = embedded_perm_tables(Ks, K_bucket, "lte")
+    h_b, it_b, L_b = turbo_decode(*args, cfg, perm_b=jnp.asarray(phi),
+                                  inv_b=jnp.asarray(inv))
+    pg, ig, gid = grouped_perm_tables(Ks, K_bucket, "lte")
+    h_g, it_g, L_g = turbo_decode(
+        *args, cfg, group_tables=(jnp.asarray(pg), jnp.asarray(ig),
+                                  jnp.asarray(gid)))
+    np.testing.assert_array_equal(np.asarray(h_b), np.asarray(h_g))
+    np.testing.assert_array_equal(np.asarray(it_b), np.asarray(it_g))
+    np.testing.assert_array_equal(np.asarray(L_b), np.asarray(L_g))

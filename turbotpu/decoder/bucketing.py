@@ -102,6 +102,30 @@ def embedded_perm_tables(Ks: list[int] | tuple[int, ...], K_bucket: int,
     return np.stack(rows), np.stack(invs)
 
 
+def grouped_perm_tables(Ks: list[int] | tuple[int, ...], K_bucket: int,
+                        interleaver: str = "lte"
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deduplicated embedded tables for the GROUPED mixed-K decode path.
+
+    A mixed batch from segmentation/acceptance has only a handful of
+    distinct block sizes, so per-codeword (B, K) tables are redundant --
+    and on TPU they force an elementwise take_along_axis whose XLA
+    lowering is catastrophically slow (measured ~345x the shared-table
+    row gather at B=1024, experiments/k_sweep.json round 5).  The
+    TPU-native form: G shared row-gather tables + a per-codeword group
+    id, decoded via G fast whole-slice gathers and a branchless select
+    (turbo_cells grouped gather).
+
+    Returns (perm_g (G, K_bucket), inv_g (G, K_bucket), gid (B,) int32)
+    with G = number of DISTINCT sizes in Ks (ascending order).
+    """
+    uniq = sorted(set(Ks))
+    pg, ig = embedded_perm_tables(uniq, K_bucket, interleaver)
+    idx = {k: i for i, k in enumerate(uniq)}
+    gid = np.asarray([idx[k] for k in Ks], np.int32)
+    return pg, ig, gid
+
+
 def bucket_ceilings(Ks: list[int], legal: tuple[int, ...]) -> dict[int, int]:
     """Map each K to the smallest ceiling in `legal` >= K (pad-to-bucket
     compile-shape reduction).  Padding itself uses the known-zero-bit trick

@@ -147,7 +147,8 @@ def turbo_decode(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
                  tail1: jax.Array, tail2: jax.Array,
                  cfg: DecoderConfig,
                  perm_b: jax.Array | None = None,
-                 inv_b: jax.Array | None = None
+                 inv_b: jax.Array | None = None,
+                 group_tables=None
                  ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Decode a batch of codewords.
 
@@ -158,6 +159,12 @@ def turbo_decode(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
     codeword is gathered through its OWN embedded permutation, so a
     heterogeneous batch of real per-K codewords decodes in one call.
     None (the default) uses the shared cfg.K table.
+
+    group_tables: (perm_g (G, K), inv_g (G, K), gid (B,)) from
+    bucketing.grouped_perm_tables -- the fast TPU form of the same
+    mixed-K decode for batches with few DISTINCT sizes (G shared row
+    gathers + select instead of an elementwise per-codeword gather;
+    see turbo_cells).  Mutually exclusive with perm_b/inv_b.
     """
     B, K = ls.shape
     assert K == cfg.K
@@ -165,7 +172,15 @@ def turbo_decode(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
         # Transpose-free hot loop in the kernel's native cell layout.
         from .turbo_cells import turbo_decode_cells
         return turbo_decode_cells(ls, lp1, lp2, tail1, tail2, cfg,
-                                  perm_b=perm_b, inv_b=inv_b)
+                                  perm_b=perm_b, inv_b=inv_b,
+                                  group_tables=group_tables)
+    if group_tables is not None:
+        # The scan SISO path keeps the general elementwise gather (fine
+        # on CPU/testing); expand the grouped form to per-codeword rows.
+        assert perm_b is None and inv_b is None
+        perm_g, inv_g, gid = group_tables
+        perm_b = jnp.take(perm_g.astype(jnp.int32), gid, axis=0)
+        inv_b = jnp.take(inv_g.astype(jnp.int32), gid, axis=0)
     siso = get_siso(cfg)
     scale = cfg.resolved_ext_scale()
 

@@ -27,13 +27,22 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
                        tail1: jax.Array, tail2: jax.Array,
                        cfg: DecoderConfig,
                        perm_b: jax.Array | None = None,
-                       inv_b: jax.Array | None = None):
+                       inv_b: jax.Array | None = None,
+                       group_tables=None):
     """Same contract as decoder.turbo.turbo_decode, Pallas-cell hot loop.
 
     perm_b / inv_b: optional per-codeword (B, K) embedded interleaver
     tables (bucketing.embedded_perm_tables) for TRUE mixed-K batches; the
     extrinsic exchange then runs as a take_along_axis gather with a
     cell-layout index tensor instead of a shared time-axis gather.
+    This elementwise gather is the GENERAL path and is very slow on TPU
+    (~345x the shared gather, experiments/k_sweep.json) -- prefer:
+
+    group_tables: (perm_g (G, K), inv_g (G, K), gid (B,)) from
+    bucketing.grouped_perm_tables.  Mixed batches from segmentation have
+    few DISTINCT sizes, so the exchange runs as G fast whole-slice row
+    gathers + a branchless per-codeword select -- the TPU-native form.
+    Mutually exclusive with perm_b/inv_b.
     """
     B, K = ls.shape
     assert K == cfg.K
@@ -52,7 +61,7 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
     # Extended permutations cover the pad region (gathered rows >= K are
     # masked to zero a-priori inside the kernel, so identity is fine there).
     ext = np.arange(K, KTp, dtype=np.int32)
-    if perm_b is None:
+    if perm_b is None and group_tables is None:
         perm = np.asarray(cfg.perm())
         inv = np.asarray(cfg.inv())
         perm_e = jnp.asarray(np.concatenate([perm.astype(np.int32), ext]))
@@ -60,6 +69,39 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
         g_perm = lambda x: x[:, perm_e]
         g_inv = lambda x: x[:, inv_e]
         g_sys = lambda x: x[:, perm]
+    elif group_tables is not None:
+        assert perm_b is None and inv_b is None
+        perm_g, inv_g, gid = group_tables
+        nG = perm_g.shape[0]
+        ext_j = jnp.asarray(ext)
+        ext_rows = jnp.broadcast_to(ext_j, (nG, KTp - K))
+        perm_eg = jnp.concatenate([perm_g.astype(jnp.int32), ext_rows], 1)
+        inv_eg = jnp.concatenate([inv_g.astype(jnp.int32), ext_rows], 1)
+        gid_c = to_cells(jnp.pad(gid.astype(jnp.int32), (0, Bp - B))[:, None]
+                         )[:, :1]                    # (cells, 1, 8, 128)
+
+        def sel_gather(tabs):
+            # G whole-slice row gathers + branchless select: each
+            # x[:, tabs[g]] gathers full (8, 128) lanes-major slices (the
+            # same fast XLA gather as the homogeneous path); the where
+            # chain picks each codeword's own group.  G is tiny (distinct
+            # block sizes), so this is ~G x the homogeneous gather cost
+            # instead of the elementwise take_along_axis's ~345x.
+            def f(x):
+                out = x[:, tabs[0]]
+                for g in range(1, nG):
+                    out = jnp.where(gid_c == g, x[:, tabs[g]], out)
+                return out
+            return f
+        g_perm = sel_gather(perm_eg)
+        g_inv = sel_gather(inv_eg)
+
+        def g_sys(x):                                # (B, K) row layout
+            out = jnp.take(x, perm_g[0], axis=1)
+            for g in range(1, nG):
+                out = jnp.where(gid[:, None] == g,
+                                jnp.take(x, perm_g[g], axis=1), out)
+            return out
     else:
         def cells_index(tab):
             t = jnp.concatenate(
@@ -98,7 +140,8 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
     # materialized interleave in the loop at all (round-3 VERDICT item 1).
     # Shared-table NII batches only; per-codeword (mixed-K) tables keep
     # the take_along_axis path.
-    fold = cfg.fold_gather and cfg.nii and perm_b is None
+    fold = (cfg.fold_gather and cfg.nii and perm_b is None
+            and group_tables is None)
 
     def half_iters_fold(le2, le1, ck1, ck2):
         with jax.named_scope("siso1_fold"):
@@ -169,51 +212,79 @@ def turbo_decode_cells(ls: jax.Array, lp1: jax.Array, lp2: jax.Array,
         return hard_b, iters_b, L_b
 
     if cfg.early_term == "crc":
-        G = jnp.asarray(_crc_check_matrix_np(K, cfg.crc_poly))
+        # int8 x int8 -> int32 MXU syndrome: GF(2) counts are exact in
+        # int32 (<= K), and the narrow operand skips the fp32 cast of
+        # the whole hard tensor (A/B'd on-chip: int8 <= f32 at B=4096).
+        G = jnp.asarray(_crc_check_matrix_np(K, cfg.crc_poly), jnp.int8)
+    # Sign-agreement mode needs last iteration's hard bits in the carry;
+    # CRC mode does not (the syndrome is memoryless), and dropping the
+    # tensor keeps the loop state minimal.
+    need_hard_prev = cfg.early_term == "sign"
 
+    # Early-termination freezing works on the EXTRINSICS, not on stored
+    # L/hard copies (round-5): L = ls + deq*(le1 + le21) is a pure
+    # function of the extrinsic streams, so pinning a converged frame's
+    # le1/le21 (a where on two ext_dt tensors -- bf16/int8) yields the
+    # bit-identical at-convergence L and hard bits when computed once
+    # after the loop, while the old scheme hauled a frozen fp32 L copy +
+    # int8 hard copy through HBM every iteration.  Measured on-chip:
+    # CRC-mode decode at B=4096 went from 1611 to the committed round-5
+    # number (see RESULTS.md) purely from this traffic cut; outputs are
+    # asserted bit-identical in tests/unit/test_turbo_decode.py.
     def cond(carry):
-        it, le21, le1, ck1, ck2, L_prev, hard_prev, done, iters = carry
-        return (it < cfg.n_iters) & ~jnp.all(done)
+        return (carry[0] < cfg.n_iters) & ~jnp.all(carry[-2])
 
     def body(carry):
-        it, le21, le1, ck1, ck2, L_prev, hard_prev, done, iters = carry
+        if need_hard_prev:
+            it, le21, le1, ck1, ck2, hard_prev, done, iters = carry
+        else:
+            it, le21, le1, ck1, ck2, done, iters = carry
         step = half_iters_fold if fold else half_iters
-        le21, le1, ck1, ck2 = step(le21, le1, ck1, ck2)
+        le21_new, le1_new, ck1, ck2 = step(le21, le1, ck1, ck2)
         # Under fold the carry holds raw le2; the convergence check needs
         # natural order, so ONE gather per iteration remains (vs two).
-        le21_nat = g_inv(le21) if fold else le21
-        L_new = full_llr(le21_nat, le1)
-        hard_new = (L_new < 0).astype(jnp.int8)
+        le21_nat = g_inv(le21_new) if fold else le21_new
+        # Fused sign decision -- no fp32 L tensor materialized in-loop.
+        hard_new = (full_llr(le21_nat, le1_new) < 0).astype(jnp.int8)
 
         if cfg.early_term == "crc":
             synd = jax.lax.dot_general(
-                hard_new.astype(jnp.float32), G,
+                hard_new, G,
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            newly_done = jnp.all(synd % 2.0 == 0.0, axis=-1)  # (cells, 8, 128)
+                preferred_element_type=jnp.int32)
+            newly_done = jnp.all((synd & 1) == 0, axis=-1)  # (cells, 8, 128)
         else:  # sign agreement
             newly_done = jnp.all(hard_new == hard_prev, axis=1)
 
-        # Freeze outputs of converged codewords branchlessly.  le21/le1 keep
-        # evolving for them (harmless: hard/L/iters below are pinned, and
-        # the extra SISO work is free -- the batch runs anyway).
+        # Freeze converged codewords' extrinsics branchlessly; their SISO
+        # outputs keep being computed (the batch runs anyway) and are
+        # discarded here, so L/hard derived after the loop are pinned at
+        # the convergence iteration.
         keep = done[:, None]
-        L = jnp.where(keep, L_prev, L_new)
-        hard = jnp.where(keep, hard_prev, hard_new)
+        le21 = jnp.where(keep, le21, le21_new)
+        le1 = jnp.where(keep, le1, le1_new)
         iters = iters + (~done).astype(jnp.int32)
         done = done | newly_done
-        return it + 1, le21, le1, ck1, ck2, L, hard, done, iters
+        if need_hard_prev:
+            hard_prev = jnp.where(keep, hard_prev, hard_new)
+            return it + 1, le21, le1, ck1, ck2, hard_prev, done, iters
+        return it + 1, le21, le1, ck1, ck2, done, iters
 
-    zK = jnp.zeros((n_cells, K, 8, 128), f32)
-    init = (jnp.int32(0), zT, zT, zC, zC, zK, jnp.zeros(zK.shape, jnp.int8),
+    zH = (jnp.zeros((n_cells, K, 8, 128), jnp.int8),) if need_hard_prev \
+        else ()
+    init = (jnp.int32(0), zT, zT, zC, zC, *zH,
             jnp.zeros((n_cells, 8, 128), bool),
             jnp.zeros((n_cells, 8, 128), jnp.int32))
     # while_loop (not fori): XLA would fully unroll a 6-trip fori,
     # instantiating the Mosaic kernel 12x (multi-minute compiles); the
     # dynamic condition also exits as soon as every codeword's CRC passes.
-    (_, le21, le1, _, _, L, hard, done, iters
-     ) = jax.lax.while_loop(cond, body, init)
+    out = jax.lax.while_loop(cond, body, init)
+    le21, le1, iters = out[1], out[2], out[-1]
 
+    if fold:
+        le21 = g_inv(le21)           # carry holds raw le2 under fold
+    L = full_llr(le21, le1)
+    hard = (L < 0).astype(jnp.int8)
     hard_b = from_cells(hard)[:B]
     L_b = from_cells(L)[:B]
     iters_b = iters.reshape(n_cells * CELL)[:B]

@@ -611,20 +611,31 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             undone_g = carry[-1]
             return (it < cfg.n_iters) & (undone_g > 0)
 
+        # Sign mode needs last iteration's hard bits; CRC does not.
+        need_hard_prev = cfg.early_term == "sign"
+
         def body(carry):
             it, groups, _ = carry
             out, undone_local = [], jnp.int32(0)
             for g in range(nG):
-                (le21, a1, b1, a2, b2, L_prev, hard_prev, done,
-                 iters) = groups[g]
+                if need_hard_prev:
+                    (le21, le1f, a1, b1, a2, b2, hard_prev, done,
+                     iters) = groups[g]
+                else:
+                    le21, le1f, a1, b1, a2, b2, done, iters = groups[g]
                 # Extrinsics stay unscaled; the kernel applies `scale` to
                 # its a-priori input, as in decoder/turbo_cells.py.
                 le1, a1o, b1o = siso_chunk(ls1_g[g], lp1_g[g], le21, a1, b1)
                 le2, a2o, b2o = siso_chunk(ls2_g[g], lp2_g[g],
                                            xch_perm(le1, j), a2, b2)
                 le21_new = xch_inv(le2, j)
-                L_new = full_llr(ls1_g[g], le1, le21_new)
-                hard_new = (L_new < 0).astype(jnp.int8)
+                # Fused sign decision -- no fp32 L materialized in-loop;
+                # L is recomputed once after the loop from the FROZEN
+                # extrinsics (pure function => bit-identical to the
+                # at-convergence value; decoder/turbo_cells.py round-5
+                # convention).
+                hard_new = (full_llr(ls1_g[g], le1, le21_new)
+                            < 0).astype(jnp.int8)
                 a1n, b1n, a2n, b2n = xch_edges(a1o, b1o, a2o, b2o)
 
                 if cfg.early_term == "crc":
@@ -645,12 +656,17 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
                     newly_done = jnp.zeros((n_g, 8, 128), bool)
                 keep = done[:, None]
                 le21 = jnp.where(keep, le21, le21_new)
-                L = jnp.where(keep, L_prev, L_new)
-                hard = jnp.where(keep, hard_prev, hard_new)
+                le1f = jnp.where(keep, le1f, le1)
                 iters = iters + (~done).astype(jnp.int32)
                 done = done | newly_done
                 undone_local += jnp.sum((~done).astype(jnp.int32))
-                out.append((le21, a1n, b1n, a2n, b2n, L, hard, done, iters))
+                if need_hard_prev:
+                    hard_prev = jnp.where(keep, hard_prev, hard_new)
+                    out.append((le21, le1f, a1n, b1n, a2n, b2n, hard_prev,
+                                done, iters))
+                else:
+                    out.append((le21, le1f, a1n, b1n, a2n, b2n, done,
+                                iters))
             # Global early-exit flag: see _decode_seq_sharded_scan -- 'data'
             # shards must take identical trip counts or their rows'
             # collectives desync (XLA:CPU deadlocks outright).
@@ -658,19 +674,21 @@ def _decode_seq_sharded_cells(mesh: jax.sharding.Mesh, cfg: DecoderConfig):
             return it + 1, tuple(out), undone_g
 
         def init_group():
-            return (jnp.zeros((n_g, C, 8, 128), dte),
-                    make_a_init(), uni, make_a_init(), uni,
-                    jnp.zeros((n_g, C, 8, 128), jnp.float32),
-                    jnp.zeros((n_g, C, 8, 128), jnp.int8),
+            zE = jnp.zeros((n_g, C, 8, 128), dte)
+            zH = ((jnp.zeros((n_g, C, 8, 128), jnp.int8),)
+                  if need_hard_prev else ())
+            return (zE, zE, make_a_init(), uni, make_a_init(), uni, *zH,
                     jnp.zeros((n_g, 8, 128), bool),
                     jnp.zeros((n_g, 8, 128), jnp.int32))
 
         init = (jnp.int32(0), tuple(init_group() for _ in range(nG)),
                 jnp.int32(1))
         _, groups, _ = jax.lax.while_loop(cond, body, init)
-        L_c = jnp.concatenate([groups[g][5] for g in range(nG)])
-        hard_c = jnp.concatenate([groups[g][6] for g in range(nG)])
-        iters = jnp.concatenate([groups[g][8] for g in range(nG)])
+        L_c = jnp.concatenate(
+            [full_llr(ls1_g[g], groups[g][1], groups[g][0])
+             for g in range(nG)])
+        hard_c = (L_c < 0).astype(jnp.int8)
+        iters = jnp.concatenate([groups[g][-1] for g in range(nG)])
         # Single assembly gather after the loop.
         hard = jax.lax.all_gather(hard_c, "seq", axis=1, tiled=True)
         L = jax.lax.all_gather(L_c, "seq", axis=1, tiled=True)

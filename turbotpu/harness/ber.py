@@ -153,7 +153,7 @@ def make_step(cfg: SimConfig):
 
     if cfg.K_mix:
         import dataclasses as _dc
-        from ..decoder.bucketing import embedded_perm_tables
+        from ..decoder.bucketing import grouped_perm_tables
         groups = cfg.mixed_groups()                  # [((K_g, E_g), count)]
         if cfg.rv_sequence and any(e == 0 for (_, e), _ in groups):
             raise ValueError("rv_sequence (HARQ) needs rate matching: every "
@@ -161,9 +161,13 @@ def make_step(cfg: SimConfig):
         Ks_g = np.concatenate(
             [[k] * n for (k, _), n in groups]).astype(np.int32)
         F_arr = (cfg.K - Ks_g).astype(np.int32)        # grouped row order
-        pb, ib = embedded_perm_tables(list(Ks_g), cfg.K,
-                                      cfg.decoder.interleaver)
-        perm_b, inv_b = jnp.asarray(pb), jnp.asarray(ib)
+        # Grouped tables: G shared row-gather permutations + per-codeword
+        # group ids -- the fast TPU mixed-K form (the per-codeword
+        # take_along_axis path measured ~345x slower on-chip,
+        # experiments/k_sweep.json round 5).
+        pg, ig, gid = grouped_perm_tables(list(Ks_g), cfg.K,
+                                          cfg.decoder.interleaver)
+        group_tables = (jnp.asarray(pg), jnp.asarray(ig), jnp.asarray(gid))
         group_perms = {k: _dc.replace(cfg.decoder, K=k).perm()
                        for (k, _), _ in groups}
 
@@ -311,7 +315,7 @@ def make_step(cfg: SimConfig):
         cat = lambda xs: jnp.concatenate(xs, axis=0)
         hard, iters, _ = turbo_decode(
             cat(ls_l), cat(lp1_l), cat(lp2_l), cat(t1_l), cat(t2_l),
-            cfg.decoder, perm_b=perm_b, inv_b=inv_b)
+            cfg.decoder, group_tables=group_tables)
         err = (hard != cat(bits_l)) & (
             jnp.arange(cfg.K) >= jnp.asarray(F_arr)[:, None])
         bit_errs = jnp.sum(err, dtype=jnp.int32)

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..decoder.bucketing import embedded_perm_tables
+from ..decoder.bucketing import grouped_perm_tables
 from ..decoder.turbo import DecoderConfig, turbo_decode
 from ..spec.crc import CRC24A_POLY, CRC24B_POLY, CRC_LEN
 from ..spec.segmentation import segment_params
@@ -137,9 +137,11 @@ def make_tb_step(cfg: TBConfig):
 
     # One embedded mixed-K decode for all C blocks x n_tb TBs: row order is
     # block-major (row = r * n_tb + t).
-    pb, ib = embedded_perm_tables(
+    # Grouped tables (G = distinct block sizes, usually 2): the fast TPU
+    # mixed-K form -- see bucketing.grouped_perm_tables.
+    pg, ig, gid = grouped_perm_tables(
         [K for K in seg.sizes for _ in range(cfg.n_tb)], bucket)
-    perm_b, inv_b = jnp.asarray(pb), jnp.asarray(ib)
+    group_tables = (jnp.asarray(pg), jnp.asarray(ig), jnp.asarray(gid))
     dcfg = DecoderConfig(
         K=bucket, n_iters=cfg.n_iters, mode=cfg.mode,
         ext_scale=cfg.ext_scale, siso=cfg.siso, io_dtype=cfg.io_dtype,
@@ -183,7 +185,7 @@ def make_tb_step(cfg: TBConfig):
         cat = lambda xs: jnp.concatenate(xs, axis=0)
         hard, iters, _ = turbo_decode(
             cat(ls_l), cat(lp1_l), cat(lp2_l), cat(t1_l), cat(t2_l),
-            dcfg, perm_b=perm_b, inv_b=inv_b)
+            dcfg, group_tables=group_tables)
 
         # Reassemble each TB from its blocks' data chunks (static slices).
         parts = []
