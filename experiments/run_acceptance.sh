@@ -11,7 +11,9 @@ for cfg in c1 c2 c3 c3rm c4; do
   timeout 2400 python -m turbotpu.cli ber --config "$cfg" --results "$OUT" --no-resume
 done
 echo "=== c5 ===" >&2
-timeout 1200 python -m turbotpu.cli c5 >> "$OUT"
+# C5 acceptance flags mirror configs/acceptance.py C5 (NII chunk
+# kernel, W=256, bf16 I/O, CRC early termination).
+timeout 1800 python -m turbotpu.cli c5 --nii --window 256 >> "$OUT"
 echo "=== c6 (transport block) ===" >&2
 timeout 2400 python -m turbotpu.cli tb --config c6 --results "$OUT" --no-resume
 echo "acceptance done" >&2
