@@ -308,3 +308,18 @@ def test_scan_seq_last_shard_systematic_alignment():
     # shard's rows, which the pre-fix clamped slice shifted by 3.
     np.testing.assert_array_equal(np.asarray(hard_s), bits)
     assert (np.sign(np.asarray(L_s)) == (1 - 2 * bits)).all()
+
+
+def test_effective_seq_groups_guard():
+    """The helper mirrors the in-decoder coercion exactly: >1 whole
+    1024-row cells per group AND ppermute boundaries (round-4 ADVICE 3:
+    the dma exclusion used to be silent)."""
+    from turbotpu.dist.seq_parallel import effective_seq_groups
+    base = dict(K=40, n_iters=2, siso="pallas", nii=True)
+    cfg2 = DecoderConfig(**base, seq_groups=2)
+    assert effective_seq_groups(cfg2, 2048) == 2
+    assert effective_seq_groups(cfg2, 1024) == 1      # 1 cell: indivisible
+    assert effective_seq_groups(cfg2, 1536) == 2      # pads to 2 whole cells
+    cfg_dma = DecoderConfig(**base, seq_groups=2, boundary_xch="dma")
+    assert effective_seq_groups(cfg_dma, 2048) == 1   # dma excludes groups
+    assert effective_seq_groups(DecoderConfig(**base), 4096) == 1

@@ -139,8 +139,9 @@ def test_harness_mixed_k_pallas_matches_scan():
     assert outs[0] == outs[1]
 
 
-@pytest.mark.parametrize("siso", ["scan", "pallas"])
-def test_grouped_tables_match_per_codeword(siso):
+@pytest.mark.parametrize("siso,interleaver", [
+    ("scan", "lte"), ("pallas", "lte"), ("pallas", "umts")])
+def test_grouped_tables_match_per_codeword(siso, interleaver):
     """The grouped mixed-K path (G shared row gathers + select -- the
     fast TPU form, round-5) must be BIT-IDENTICAL to the general
     per-codeword take_along_axis path on the same batch."""
@@ -156,11 +157,12 @@ def test_grouped_tables_match_per_codeword(siso):
 
     Ks = sum(([K] * B for K in sizes), [])
     cfg = DecoderConfig(K=K_bucket, n_iters=4, siso=siso,
+                        interleaver=interleaver,
                         early_term="crc" if siso == "pallas" else "none")
-    phi, inv = embedded_perm_tables(Ks, K_bucket, "lte")
+    phi, inv = embedded_perm_tables(Ks, K_bucket, interleaver)
     h_b, it_b, L_b = turbo_decode(*args, cfg, perm_b=jnp.asarray(phi),
                                   inv_b=jnp.asarray(inv))
-    pg, ig, gid = grouped_perm_tables(Ks, K_bucket, "lte")
+    pg, ig, gid = grouped_perm_tables(Ks, K_bucket, interleaver)
     h_g, it_g, L_g = turbo_decode(
         *args, cfg, group_tables=(jnp.asarray(pg), jnp.asarray(ig),
                                   jnp.asarray(gid)))
