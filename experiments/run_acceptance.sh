@@ -18,11 +18,13 @@ echo "=== c6 (transport block) ===" >&2
 timeout 2400 python -m turbotpu.cli tb --config c6 --results "$OUT" --no-resume
 echo "acceptance done" >&2
 
-# Round-4 evidence artifacts (each script writes its experiments/*.json):
-# flagship variance/batch/MAP-variant tuning, window sweep + FER,
-# quantized-extrinsic BER, MAP-variant BER, seq glue, roofline,
-# in-kernel-gather feasibility, comm model.
+# Evidence artifacts (each script writes its experiments/*.json):
+# flagship variance/batch/MAP-variant tuning (rep-scaled, round 5),
+# window sweep + FER, quantized-extrinsic BER (int8 + fp8), MAP-variant
+# BER (LTE + the UMTS/C3 paired run), K sweep + mixed-K cost, measured
+# latency, seq glue, roofline, in-kernel-gather feasibility, comm model.
 for exp in flagship_tuning nii_window_sweep ext_dtype_ber map_variant_ber \
+           map_variant_umts k_sweep latency \
            seq_glue gather_inkernel; do
   echo "=== experiments/$exp ===" >&2
   timeout 2400 python "experiments/$exp.py"
