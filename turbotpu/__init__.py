@@ -10,7 +10,8 @@ from .decoder.turbo import DecoderConfig, turbo_decode
 __version__ = "0.1.0"
 __all__ = ["DecoderConfig", "turbo_decode", "SimConfig", "simulate_ber",
            "encode_transport_block", "transmit_transport_block",
-           "decode_transport_block", "embedded_perm_tables", "decode_mixed",
+           "decode_transport_block", "embedded_perm_tables",
+           "grouped_perm_tables", "decode_mixed",
            "__version__"]
 
 
@@ -23,7 +24,8 @@ def __getattr__(name):
                 "decode_transport_block"):
         from . import transport
         return getattr(transport, name)
-    if name in ("embedded_perm_tables", "decode_mixed"):
+    if name in ("embedded_perm_tables", "grouped_perm_tables",
+                "decode_mixed"):
         from .decoder import bucketing
         return getattr(bucketing, name)
     raise AttributeError(name)
