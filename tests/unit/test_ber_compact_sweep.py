@@ -80,3 +80,20 @@ def test_compact_rejects_mixed_k_and_no_crc():
                                      siso="scan"))
     with pytest.raises(ValueError, match="crc"):
         simulate_point(bad, 1.5, compact_stage1=2)
+
+
+def test_compact_cross_group_flush_counts_identical():
+    """compact_flush=R accumulates failures across check groups; with a
+    fixed frame budget (flush-at-end guaranteed) the counts must still
+    equal the non-compact sweep exactly, with fewer or equal stage-2
+    batches than the per-check mode (denser packing)."""
+    cfg = _cfg(ebn0_db_grid=(-1.0,), min_frame_errors=1 << 30,
+               max_frames=128)
+    p = simulate_point(cfg, -1.0)
+    c0 = simulate_point(cfg, -1.0, compact_stage1=2)
+    c8 = simulate_point(cfg, -1.0, compact_stage1=2, compact_flush=8)
+    for c in (c0, c8):
+        assert (c["frames"], c["bit_errs"], c["frame_errs"]) == \
+               (p["frames"], p["bit_errs"], p["frame_errs"])
+    assert c8["n_stage2_batches"] <= c0["n_stage2_batches"]
+    assert c8["compact_flush_batches"] == 8

@@ -79,6 +79,12 @@ def main(argv=None):
                           "re-batch CRC failures host-side, finish at the "
                           "full cap (bit-identical counts; needs "
                           "--early-term crc, homogeneous K)")
+    ber.add_argument("--compact-flush", type=int, default=0, metavar="R",
+                     help="with --compact: accumulate failures across "
+                          "check groups (up to R retained super-batches) "
+                          "and flush only when a dense full batch is "
+                          "ready -- more device work saved; stopping rule "
+                          "becomes conservative between flushes")
 
     bench = sub.add_parser("bench", help="decode throughput benchmark")
     _add_common(bench)
@@ -256,7 +262,8 @@ def main(argv=None):
         for cfg in cfgs:
             simulate_ber(cfg, results_path=args.results,
                          resume=not args.no_resume,
-                         compact_stage1=args.compact)
+                         compact_stage1=args.compact,
+                         compact_flush=args.compact_flush)
         return 0
 
     if args.cmd == "bench":

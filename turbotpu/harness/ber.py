@@ -355,16 +355,20 @@ def _point_record(cfg: SimConfig, ebn0_db: float, frames: int, bit_errs: int,
 
 
 def simulate_point(cfg: SimConfig, ebn0_db: float, step=None,
-                   compact_stage1: int = 0) -> dict:
+                   compact_stage1: int = 0,
+                   compact_flush: int = 0) -> dict:
     """Run one Eb/N0 grid point to the stopping rule; returns a record.
 
     compact_stage1 > 0 switches to two-stage convergence compaction
     (host-side re-batching of CRC failures between super-batches) with
     the given stage-1 iteration cap -- same frames, same counts (the
     compaction contract is bit-identical hard decisions), plus device
-    -work fields."""
+    -work fields.  compact_flush > 0 additionally accumulates failures
+    ACROSS check groups up to that many retained super-batches before
+    flushing (denser stage-2 fill; see _simulate_point_compacted)."""
     if compact_stage1:
-        return _simulate_point_compacted(cfg, ebn0_db, step, compact_stage1)
+        return _simulate_point_compacted(cfg, ebn0_db, step, compact_stage1,
+                                         compact_flush)
     if step is None:
         step = make_step(cfg)
     esn0 = jnp.float32(_ebn0_to_esn0_db(cfg, ebn0_db))
@@ -390,16 +394,29 @@ def simulate_point(cfg: SimConfig, ebn0_db: float, step=None,
 
 
 def _simulate_point_compacted(cfg: SimConfig, ebn0_db: float, step,
-                              stage1_iters: int) -> dict:
+                              stage1_iters: int,
+                              flush_batches: int = 0) -> dict:
     """Compaction sweep mode (SURVEY section 8 hard part 6's named
     integration point): generate the SAME super-batches as the fused
     step (identical key-split tree), stage-1 decode them at a small cap,
-    re-batch the CRC failures across the whole check-group into dense
-    batches host-side, and finish those at the full cap.  Counts are
-    bit-identical to the non-compact sweep on the same seeds (the
-    decode_compacted equivalence contract, tests/unit/test_compaction.py
-    + test_ber_compact_sweep.py)."""
-    from .compact import decode_compacted
+    re-batch the CRC failures into dense batches host-side, and finish
+    those at the full cap.  Counts are bit-identical to the non-compact
+    sweep on the same seeds (the decode_compacted equivalence contract,
+    tests/unit/test_compaction.py + test_ber_compact_sweep.py).
+
+    flush_batches = 0 (default): failures re-batch within each check
+    group, so the stopping rule sees complete counts at every check --
+    exact stopping parity with the non-compact sweep.
+    flush_batches = R > 0: failures ACCUMULATE across check groups
+    (SURVEY's "across all super-batches") and flush only when a dense
+    full-size batch is ready (deferred >= B) or R super-batches are
+    retained on device (the memory bound) -- much denser stage-2 fill,
+    so more device work is saved at low deferral rates.  Between
+    flushes the stopping rule sees stage-1-converged errors only, so a
+    stopping-rule run may take extra frames (never fewer); with a
+    fixed frame budget (min_frame_errors pinned high) the counts are
+    exactly the non-compact sweep's."""
+    from .compact import _stage_fns
     if cfg.K_mix:
         raise ValueError("compaction re-batches through plain turbo_decode; "
                          "mixed-K batches (per-codeword embedded tables) are "
@@ -410,34 +427,84 @@ def _simulate_point_compacted(cfg: SimConfig, ebn0_db: float, step,
         step = make_step(cfg)
     esn0 = jnp.float32(_ebn0_to_esn0_db(cfg, ebn0_db))
     key = _point_key(cfg, ebn0_db)
+    B = cfg.B
     bit_errs = frame_errs = frames = iters_sum = 0
     units = n2_total = deferred_total = 0
+
+    cfg1 = dataclasses.replace(cfg.decoder, n_iters=stage1_iters)
+    stage1, stage2 = _stage_fns(cfg1, cfg.decoder)
+    R = max(flush_batches, 0)
+    pending: list[tuple] = []      # (inputs5, bits, deferred row indices)
+
+    def flush():
+        """Gather every pending deferred frame into dense full-cap
+        batches.  The flat stage-2 operand is padded to a FIXED R*B rows
+        (repeating the first pending batch) so stage2 compiles once."""
+        nonlocal bit_errs, frame_errs, iters_sum, units, n2_total
+        live = [p for p in pending if len(p[2])]
+        pending.clear()
+        if not live:
+            return
+        # Fixed flat capacity (R batches, or the check-group size in the
+        # default mode) so stage2 sees ONE operand shape across flushes.
+        cap = R if R else cfg.steps_per_check
+        padded = live + [live[0]] * (cap - len(live))
+        flat_inputs = tuple(
+            jnp.concatenate([p[0][k] for p in padded]) for k in range(5))
+        flat_bits = jnp.concatenate([p[1] for p in padded])
+        dev = np.concatenate(
+            [np.asarray(p[2], np.int64) + i * B
+             for i, p in enumerate(live)]).astype(np.int32)
+        n2 = -(-len(dev) // B)
+        idx_all = np.concatenate([dev, np.zeros(n2 * B - len(dev),
+                                                np.int32)])
+        val_all = np.concatenate([np.ones(len(dev), bool),
+                                  np.zeros(n2 * B - len(dev), bool)])
+        for b in range(n2):
+            p2, _ = stage2(flat_inputs,
+                           jnp.asarray(idx_all[b * B:(b + 1) * B]),
+                           jnp.asarray(val_all[b * B:(b + 1) * B]),
+                           flat_bits)
+            cnt = np.asarray(p2).view(np.int32)
+            bit_errs += int(cnt[0])
+            frame_errs += int(cnt[1])
+            iters_sum += int(cnt[2])
+        units += n2 * cfg.decoder.n_iters
+        n2_total += n2
+
     t0 = time.perf_counter()
     while frame_errs < cfg.min_frame_errors and frames < cfg.max_frames:
         key, sub = jax.random.split(key)
         # Replicate the fused step's fori_loop key chain exactly:
         # carry = sub; each sub-step splits (carry, batch_key) off it.
-        inputs_list, bits_list = [], []
         carry = sub
         for _ in range(cfg.steps_per_check):
             carry, bk = jax.random.split(carry)
             streams, bits = step.gen(bk, esn0)
-            inputs_list.append(streams)
-            bits_list.append(bits)
-        be, fe, it, n2, _, ndef = decode_compacted(
-            inputs_list, bits_list, cfg.decoder, stage1_iters)
-        bit_errs += be
-        frame_errs += fe
-        iters_sum += it
-        n2_total += n2
-        deferred_total += ndef
-        units += cfg.steps_per_check * stage1_iters + n2 * cfg.decoder.n_iters
+            packed, _ = stage1(streams, bits)
+            p = np.asarray(packed)             # ONE fetch per super-batch
+            cnt = p[:3].view(np.int32)
+            bit_errs += int(cnt[0])
+            frame_errs += int(cnt[1])
+            iters_sum += int(cnt[2])
+            rows = np.nonzero(p[3:] > 0.5)[0]
+            deferred_total += len(rows)
+            if len(rows):
+                pending.append((streams, bits, rows))
+            units += stage1_iters
+            if (sum(len(p[2]) for p in pending) >= B
+                    or (R and len(pending) >= R)):
+                flush()
+        if not R:
+            flush()                # per-check exactness (default)
         frames += cfg.B * cfg.steps_per_check
+    flush()
     wall = time.perf_counter() - t0
     rec = _point_record(cfg, ebn0_db, frames, bit_errs, frame_errs,
                         iters_sum, wall)
     rec.update({
         "compact_stage1": stage1_iters,
+        **({"compact_flush_batches": R} if R else {}),
         "iter_batches": units,
         "n_stage2_batches": n2_total,
         "deferred_frac": round(deferred_total / frames, 4) if frames else 0.0,
@@ -450,7 +517,8 @@ def _simulate_point_compacted(cfg: SimConfig, ebn0_db: float, step,
 
 def simulate_ber(cfg: SimConfig, results_path: str | pathlib.Path | None = None,
                  resume: bool = True, verbose: bool = True,
-                 compact_stage1: int = 0) -> list[dict]:
+                 compact_stage1: int = 0, compact_flush: int = 0
+                 ) -> list[dict]:
     """Sweep the Eb/N0 grid; resumable via the JSONL results file."""
     done: dict[float, dict] = {}
     path = pathlib.Path(results_path) if results_path else None
@@ -480,7 +548,8 @@ def simulate_ber(cfg: SimConfig, results_path: str | pathlib.Path | None = None,
                 print(f"[{cfg.name}] Eb/N0={ebn0:5.2f} dB  (resumed)")
             continue
         rec = simulate_point(cfg, float(ebn0), step,
-                             compact_stage1=compact_stage1)
+                             compact_stage1=compact_stage1,
+                             compact_flush=compact_flush)
         out.append(rec)
         if path:
             with path.open("a") as f:
